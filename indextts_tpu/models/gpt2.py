@@ -1,0 +1,200 @@
+"""GPT-2 transformer core in flax, TPU-first.
+
+Semantics-parity target: the reference's vendored HF GPT-2
+(indextts/gpt/transformers_gpt2.py — a pinned copy of transformers' GPT2Model)
+as used by UnifiedVoice (gpt/model_v2.py:286-306): wte/wpe are ripped out, the
+model consumes `inputs_embeds` directly, causal self-attention with additive
+padding masks, gelu_new MLP, LayerNorm eps 1e-5.
+
+TPU-first: one weight layout, two execution modes —
+  * `__call__`  : full-sequence (prefill / teacher-forced latent pass), one
+                  fused program, MXU-shaped [B,T,D] matmuls.
+  * `decode_step`: single-token step reading/writing a static-shape KV cache
+                  laid out (L, B, H, Tmax, Dh); index arithmetic stays
+                  on-device so the whole AR loop lives inside one
+                  `lax.while_loop` (replaces the reference accel engine's
+                  per-token host bookkeeping, accel_engine.py:567-607).
+
+Tensor-parallel sharding (parallel/sharding.py) column-shards c_attn/c_fc and
+row-shards the projections over the "model" mesh axis; XLA inserts the psum.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e9
+
+
+def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
+    """HF 'gelu_new' == tanh-approx GELU (transformers.activations.NewGELUActivation)."""
+    return (
+        0.5
+        * x
+        * (1.0 + jnp.tanh(jnp.sqrt(2.0 / jnp.pi) * (x + 0.044715 * jnp.power(x, 3.0))))
+    )
+
+
+class Conv1D(nn.Module):
+    """HF GPT-2 'Conv1D': y = x @ W + b with W stored (in, out)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel", nn.initializers.normal(0.02), (x.shape[-1], self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return jnp.matmul(x, w.astype(x.dtype)) + b.astype(x.dtype)
+
+
+class GPT2Attention(nn.Module):
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attn_bias: jnp.ndarray,
+        kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        """
+        x: (B, T, D). attn_bias: additive mask broadcastable to (B, 1, T, S).
+        kv_cache: optional (k, v) each (B, H, Tmax, Dh); when given, this is a
+        decode step: T is the new-token count, keys/values are scattered into
+        the cache at cache_index and attention runs over the full cache.
+        Returns (out, new_kv or (k, v) of this call).
+        """
+        B, T, D = x.shape
+        H = self.n_head
+        Dh = D // H
+
+        qkv = Conv1D(3 * D, name="c_attn")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, -1, H, Dh).transpose(0, 2, 1, 3)  # (B,H,T,Dh)
+
+        q, k, v = heads(q), heads(k), heads(v)
+
+        if kv_cache is not None:
+            ck, cv = kv_cache
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+            k, v = ck, cv
+            new_kv = (ck, cv)
+        else:
+            new_kv = (k, v)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, dtype=jnp.float32))
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) * scale
+        scores = scores + attn_bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
+        out = Conv1D(D, name="c_proj")(ctx)
+        return out, new_kv
+
+
+class GPT2MLP(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        h = Conv1D(4 * D, name="c_fc")(x)
+        h = gelu_new(h)
+        return Conv1D(D, name="c_proj")(h)
+
+
+class GPT2Block(nn.Module):
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, kv_cache=None, cache_index=None):
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=self.dtype)(x)
+        attn_out, new_kv = GPT2Attention(self.n_head, self.dtype, name="attn")(
+            h, attn_bias, kv_cache, cache_index
+        )
+        x = x + attn_out
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2", dtype=self.dtype)(x)
+        x = x + GPT2MLP(self.dtype, name="mlp")(h)
+        return x, new_kv
+
+
+class GPT2Core(nn.Module):
+    """Stack of GPT-2 blocks + final LayerNorm. Consumes embeddings only
+    (the reference deletes wte/wpe: model_v2.py:300-304)."""
+
+    n_layer: int
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        kv_caches: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        kv_valid_len: Optional[jnp.ndarray] = None,
+    ):
+        """
+        inputs_embeds: (B, T, D)
+        attention_mask: (B, S) 1/0 padding mask over the key axis; in decode
+          mode S == Tmax of the cache, in prefill S == T.
+        kv_caches: optional stacked caches (L, B, H, Tmax, Dh) x2 for decode.
+        cache_index: scalar write position for decode.
+        Returns (hidden, new_kv_caches_or_None).
+        """
+        B, T, D = inputs_embeds.shape
+        x = inputs_embeds.astype(self.dtype)
+
+        if kv_caches is None:
+            # prefill: causal + optional padding
+            causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+            bias = jnp.where(causal[None, None], 0.0, NEG_INF)
+            if attention_mask is not None:
+                pad = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+                bias = bias + pad
+            new_ks, new_vs = [], []
+            for i in range(self.n_layer):
+                x, (k, v) = GPT2Block(self.n_head, self.dtype, name=f"h_{i}")(x, bias)
+                new_ks.append(k)
+                new_vs.append(v)
+            new_kv = (jnp.stack(new_ks), jnp.stack(new_vs))
+        else:
+            # decode: attend to cache positions < kv_valid_len (+ current)
+            ks, vs = kv_caches
+            Tmax = ks.shape[3]
+            pos = jnp.arange(Tmax)
+            valid = pos[None, :] < kv_valid_len[:, None]  # (B, Tmax)
+            if attention_mask is not None:
+                valid = jnp.logical_and(valid, attention_mask.astype(bool))
+            bias = jnp.where(valid[:, None, None, :], 0.0, NEG_INF)
+            new_ks, new_vs = [], []
+            for i in range(self.n_layer):
+                x, (k, v) = GPT2Block(self.n_head, self.dtype, name=f"h_{i}")(
+                    x, bias, kv_cache=(ks[i], vs[i]), cache_index=cache_index
+                )
+                new_ks.append(k)
+                new_vs.append(v)
+            new_kv = (jnp.stack(new_ks), jnp.stack(new_vs))
+
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_f", dtype=self.dtype)(x)
+        return x, new_kv
+
+
+def init_kv_cache(
+    n_layer: int, batch: int, n_head: int, max_len: int, head_dim: int, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    shape = (n_layer, batch, n_head, max_len, head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

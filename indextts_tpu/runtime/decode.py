@@ -1,0 +1,284 @@
+"""Fully-jitted autoregressive decode loop for UnifiedVoice.
+
+Replaces the reference's two decode paths with one XLA program:
+  * HF GenerationMixin sampling (vendored transformers_generation_utils) and
+  * the accel engine's CUDA-graph decode (accel/accel_engine.py:378-645)
+whose per-token host bookkeeping (block tables, slot mappings,
+accel_engine.py:154-212) becomes on-device index arithmetic inside a
+`lax.while_loop`. Graph capture is free under jit; continuous batching is a
+batch dimension plus per-sequence finished flags.
+
+Sampling parity: HF processor order — repetition penalty -> temperature ->
+top-k -> top-p -> categorical (generation_utils semantics, including the
+quirk that the left-padded fake input ids {1, start_mel_token} participate in
+the repetition penalty).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indextts_tpu.config import GPTConfig
+from indextts_tpu.models.unified_voice import UnifiedVoice
+
+NEG_INF = -1e9
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    """Static sampling configuration (hashable; changing it recompiles)."""
+
+    do_sample: bool = True
+    top_k: int = 30
+    use_repetition_penalty: bool = True
+    # include the HF fake-prompt tokens {1, start_mel} in the penalty set,
+    # replicating reference generate() over fake_inputs (model_v2.py:785-794)
+    hf_fake_prompt_penalty: bool = True
+
+
+@dataclass
+class GenerateResult:
+    codes: jnp.ndarray  # (B, max_new) int32, stop-token padded
+    lengths: jnp.ndarray  # (B,) int32 — generated length INCLUDING stop token
+
+
+def _apply_top_k_top_p_sample(
+    logits: jnp.ndarray,
+    key: jnp.ndarray,
+    temperature: jnp.ndarray,
+    top_p: jnp.ndarray,
+    top_k: int,
+) -> jnp.ndarray:
+    """HF warper chain: temperature -> top-k -> top-p -> categorical.
+
+    Operates on the top-k subset only (k << vocab), everything else is
+    filtered anyway; keeps the hot loop off the full 8194-wide softmax sort."""
+    B, V = logits.shape
+    logits = logits / temperature
+    vals, idx = jax.lax.top_k(logits, top_k)  # (B, k) descending
+    # top-p on the descending-sorted subset: remove tokens whose cumulative
+    # probability (exclusive) >= top_p; always keep the first
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p  # exclusive-cumsum < p
+    keep = keep.at[:, 0].set(True)
+    vals = jnp.where(keep, vals, NEG_INF)
+    choice = jax.random.categorical(key, vals, axis=-1)  # (B,)
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+
+
+def _repetition_penalty(
+    logits: jnp.ndarray, penal_mask: jnp.ndarray, penalty: jnp.ndarray
+) -> jnp.ndarray:
+    """HF RepetitionPenaltyLogitsProcessor: score<0 ? score*p : score/p."""
+    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(penal_mask, penalized, logits)
+
+
+class GPTDecoder:
+    """Compiled decode programs for one UnifiedVoice parameterization.
+
+    Programs are cached per (batch, prompt_len, max_new) static signature.
+    """
+
+    def __init__(
+        self,
+        model: UnifiedVoice,
+        cfg: GPTConfig,
+        sampling: SamplingConfig = SamplingConfig(),
+        param_dtype: Any = jnp.float32,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.sampling = sampling
+        self.param_dtype = param_dtype
+        self._generate_jit = functools.partial(
+            jax.jit,
+            static_argnames=("max_new",),
+        )(self._generate)
+
+    # -- prompt assembly (host side, tiny) ---------------------------------
+
+    def build_text_prompt_arrays(
+        self, text_ids: np.ndarray, text_lens: np.ndarray, bucket: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Right-align [start][text][stop] inside a (B, bucket+2) buffer.
+
+        Mirrors prepare_gpt_inputs left-padding (model_v2.py:749-779)."""
+        B = text_ids.shape[0]
+        L = bucket + 2
+        ids = np.zeros((B, L), dtype=np.int32)
+        pos = np.zeros((B, L), dtype=np.int32)
+        valid = np.zeros((B, L), dtype=bool)
+        for b in range(B):
+            n = int(text_lens[b])
+            seq = [self.cfg.start_text_token] + list(text_ids[b, :n]) + [
+                self.cfg.stop_text_token
+            ]
+            off = L - len(seq)
+            ids[b, off:] = seq
+            pos[b, off:] = np.arange(len(seq))
+            valid[b, off:] = True
+        return ids, pos, valid
+
+    # -- jitted generation --------------------------------------------------
+
+    def _generate(
+        self,
+        params,
+        conds_latent: jnp.ndarray,  # (B, 34, D)
+        text_ids: jnp.ndarray,  # (B, Lt) right-aligned
+        text_pos: jnp.ndarray,
+        text_valid: jnp.ndarray,
+        key: jnp.ndarray,
+        temperature: jnp.ndarray,
+        top_p: jnp.ndarray,
+        repetition_penalty: jnp.ndarray,
+        max_new: int,
+    ):
+        cfg = self.cfg
+        model = self.model
+        s = self.sampling
+        B = conds_latent.shape[0]
+        V = cfg.number_mel_codes
+
+        text_emb = model.apply(
+            params,
+            text_ids,
+            text_pos,
+            text_valid,
+            method=UnifiedVoice.embed_text_prompt,
+        )
+        start_emb = model.apply(params, B, method=UnifiedVoice.embed_mel_start)
+        prompt = jnp.concatenate(
+            [
+                conds_latent.astype(text_emb.dtype),
+                text_emb,
+                start_emb.astype(text_emb.dtype),
+            ],
+            axis=1,
+        )
+        # left-pad mask: pads only in the text section
+        cond_mask = jnp.ones((B, conds_latent.shape[1]), dtype=bool)
+        start_mask = jnp.ones((B, 1), dtype=bool)
+        prompt_mask = jnp.concatenate([cond_mask, text_valid, start_mask], axis=1)
+        # Reference puts [pad][cond][text]; we put [cond][pad-inside-text][text].
+        # Attention is permutation-invariant over masked-out keys (their
+        # embeddings are zeroed and masked), and no position is assigned to
+        # pads in either layout, so logits match the reference exactly.
+
+        S = prompt.shape[1]
+        cap = S + max_new
+
+        hidden, (pk, pv) = model.apply(
+            params, prompt, prompt_mask, method=UnifiedVoice.gpt_prefill
+        )
+        L, _, H, _, Dh = pk.shape
+        ks = jnp.zeros((L, B, H, cap, Dh), pk.dtype)
+        vs = jnp.zeros((L, B, H, cap, Dh), pv.dtype)
+        ks = jax.lax.dynamic_update_slice(ks, pk, (0, 0, 0, 0, 0))
+        vs = jax.lax.dynamic_update_slice(vs, pv, (0, 0, 0, 0, 0))
+        cap_mask = jnp.concatenate(
+            [prompt_mask, jnp.ones((B, max_new), dtype=bool)], axis=1
+        )
+
+        last_logits = model.apply(
+            params, hidden[:, -1], method=UnifiedVoice.mel_logits_from_hidden
+        )
+
+        penal_mask = jnp.zeros((B, V), dtype=bool)
+        if s.use_repetition_penalty and s.hf_fake_prompt_penalty:
+            penal_mask = penal_mask.at[:, 1].set(True)
+            penal_mask = penal_mask.at[:, cfg.start_mel_token].set(True)
+
+        codes0 = jnp.full((B, max_new), cfg.stop_mel_token, dtype=jnp.int32)
+        finished0 = jnp.zeros((B,), dtype=bool)
+
+        def cond_fn(state):
+            step, _, _, _, _, finished, _, _ = state
+            return jnp.logical_and(step < max_new, ~jnp.all(finished))
+
+        def body_fn(state):
+            step, codes, logits, ks, vs, finished, key, penal_mask = state
+            key, sub = jax.random.split(key)
+            lg = logits
+            if s.use_repetition_penalty:
+                lg = _repetition_penalty(lg, penal_mask, repetition_penalty)
+            if s.do_sample:
+                tok = _apply_top_k_top_p_sample(lg, sub, temperature, top_p, s.top_k)
+            else:
+                tok = jnp.argmax(lg, axis=-1)
+            tok = jnp.where(finished, cfg.stop_mel_token, tok).astype(jnp.int32)
+            codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
+            newly_finished = tok == cfg.stop_mel_token
+            finished = jnp.logical_or(finished, newly_finished)
+            penal_mask = penal_mask.at[jnp.arange(B), tok].set(True)
+
+            emb = self.model.apply(
+                params, tok, step, method=UnifiedVoice.embed_mel_step
+            )
+            hidden, (ks, vs) = self.model.apply(
+                params,
+                emb,
+                (ks, vs),
+                S + step,
+                jnp.full((B,), S + step + 1, jnp.int32),
+                cap_mask,
+                method=UnifiedVoice.gpt_decode_step,
+            )
+            logits = self.model.apply(
+                params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
+            )
+            return (step + 1, codes, logits, ks, vs, finished, key, penal_mask)
+
+        state = (
+            jnp.asarray(0, jnp.int32),
+            codes0,
+            last_logits,
+            ks,
+            vs,
+            finished0,
+            key,
+            penal_mask,
+        )
+        step, codes, *_ = jax.lax.while_loop(cond_fn, body_fn, state)
+
+        # length = index of first stop + 1 (capped at max_new)
+        is_stop = codes == cfg.stop_mel_token
+        first_stop = jnp.argmax(is_stop, axis=1)
+        has_stop = jnp.any(is_stop, axis=1)
+        lengths = jnp.where(has_stop, first_stop + 1, max_new).astype(jnp.int32)
+        return codes, lengths
+
+    def generate(
+        self,
+        params,
+        conds_latent,
+        text_ids,
+        text_pos,
+        text_valid,
+        key,
+        max_new: int,
+        temperature: float = 0.8,
+        top_p: float = 0.8,
+        repetition_penalty: float = 10.0,
+    ) -> GenerateResult:
+        codes, lengths = self._generate_jit(
+            params,
+            conds_latent,
+            text_ids,
+            text_pos,
+            text_valid,
+            key,
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p, jnp.float32),
+            jnp.asarray(repetition_penalty, jnp.float32),
+            max_new=max_new,
+        )
+        return GenerateResult(codes=codes, lengths=lengths)

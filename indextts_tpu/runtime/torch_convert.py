@@ -1,0 +1,209 @@
+"""PyTorch checkpoint -> flax params conversion.
+
+Handles the reference's four checkpoint flavors (SURVEY.md §5):
+  1. strict .pth for the GPT (utils/checkpoint.py:25-36)
+  2. multi-module state["net"] for s2mel (commons.py:579-635)
+  3. HF safetensors (semantic codec)
+  4. HF from_pretrained state dicts (BigVGAN, w2v-BERT, CAMPPlus)
+
+All converters take a flat {name: numpy array} dict (load the torch file
+however you like — torch.load on CPU, safetensors, etc.) and emit a flax
+params pytree matching our module definitions.
+
+Layout rules:
+  torch nn.Linear weight (out, in)   -> Dense kernel (in, out)  [transpose]
+  HF GPT-2 Conv1D weight (in, out)   -> Conv1D kernel (in, out) [as-is]
+  torch nn.Conv1d weight (O, I, K)   -> flax Conv kernel (K, I, O)
+  torch nn.Conv2d weight (O, I, H, W)-> flax Conv kernel (H, W, I, O)
+  torch nn.ConvTranspose1d (I, O, K) -> handled per-module
+  torch LayerNorm weight/bias        -> scale/bias
+  torch nn.Embedding weight          -> embedding
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from indextts_tpu.config import GPTConfig
+
+
+Array = np.ndarray
+SD = Dict[str, Array]
+
+
+def _t(w: Array) -> Array:
+    return np.ascontiguousarray(w.T)
+
+
+def linear(sd: SD, p: str) -> dict:
+    out = {"kernel": _t(sd[f"{p}.weight"])}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def conv1d_as_dense(sd: SD, p: str) -> dict:
+    """torch Conv1d with kernel_size=1 used as a pointwise projection."""
+    w = sd[f"{p}.weight"]  # (O, I, 1)
+    out = {"kernel": _t(w[:, :, 0])}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def conv1d(sd: SD, p: str) -> dict:
+    w = sd[f"{p}.weight"]  # (O, I, K)
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0))}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def depthwise_conv1d(sd: SD, p: str) -> dict:
+    w = sd[f"{p}.weight"]  # (C, 1, K), groups=C
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0))}  # (K, 1, C)
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def conv2d(sd: SD, p: str) -> dict:
+    w = sd[f"{p}.weight"]  # (O, I, H, W)
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def layernorm(sd: SD, p: str) -> dict:
+    return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+
+def embedding(sd: SD, p: str) -> dict:
+    return {"embedding": sd[f"{p}.weight"]}
+
+
+def gpt2_conv1d(sd: SD, p: str) -> dict:
+    """HF GPT-2 Conv1D: weight already (in, out)."""
+    return {"kernel": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+
+# ---------------------------------------------------------------------------
+# Conformer + perceiver
+# ---------------------------------------------------------------------------
+
+
+def convert_conformer(sd: SD, prefix: str, num_blocks: int) -> dict:
+    p = {}
+    p["embed"] = {
+        "conv": conv2d(sd, f"{prefix}.embed.conv.0"),
+        "out": linear(sd, f"{prefix}.embed.out.0"),
+    }
+    for i in range(num_blocks):
+        b = f"{prefix}.encoders.{i}"
+        p[f"layer_{i}"] = {
+            "self_attn": {
+                "linear_q": linear(sd, f"{b}.self_attn.linear_q"),
+                "linear_k": linear(sd, f"{b}.self_attn.linear_k"),
+                "linear_v": linear(sd, f"{b}.self_attn.linear_v"),
+                "linear_out": linear(sd, f"{b}.self_attn.linear_out"),
+                "linear_pos": linear(sd, f"{b}.self_attn.linear_pos"),
+                "pos_bias_u": sd[f"{b}.self_attn.pos_bias_u"],
+                "pos_bias_v": sd[f"{b}.self_attn.pos_bias_v"],
+            },
+            "feed_forward": {
+                "w_1": linear(sd, f"{b}.feed_forward.w_1"),
+                "w_2": linear(sd, f"{b}.feed_forward.w_2"),
+            },
+            "conv_module": {
+                "pointwise_conv1": conv1d_as_dense(sd, f"{b}.conv_module.pointwise_conv1"),
+                "depthwise_conv": depthwise_conv1d(sd, f"{b}.conv_module.depthwise_conv"),
+                "norm": layernorm(sd, f"{b}.conv_module.norm"),
+                "pointwise_conv2": conv1d_as_dense(sd, f"{b}.conv_module.pointwise_conv2"),
+            },
+            "norm_mha": layernorm(sd, f"{b}.norm_mha"),
+            "norm_conv": layernorm(sd, f"{b}.norm_conv"),
+            "norm_ff": layernorm(sd, f"{b}.norm_ff"),
+            "norm_final": layernorm(sd, f"{b}.norm_final"),
+        }
+    p["after_norm"] = layernorm(sd, f"{prefix}.after_norm")
+    return p
+
+
+def convert_perceiver(sd: SD, prefix: str, depth: int = 2, has_proj: bool = True) -> dict:
+    p = {"latents": sd[f"{prefix}.latents"]}
+    if has_proj and f"{prefix}.proj_context.weight" in sd:
+        p["proj_context"] = linear(sd, f"{prefix}.proj_context")
+    for i in range(depth):
+        p[f"attn_{i}"] = {
+            "to_q": linear(sd, f"{prefix}.layers.{i}.0.to_q"),
+            "to_kv": linear(sd, f"{prefix}.layers.{i}.0.to_kv"),
+            "to_out": linear(sd, f"{prefix}.layers.{i}.0.to_out"),
+        }
+        p[f"ff_{i}"] = {
+            "proj_in": linear(sd, f"{prefix}.layers.{i}.1.0"),
+            "proj_out": linear(sd, f"{prefix}.layers.{i}.1.2"),
+        }
+    p["norm"] = {"gamma": sd[f"{prefix}.norm.gamma"]}
+    return p
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 core + UnifiedVoice
+# ---------------------------------------------------------------------------
+
+
+def convert_gpt2_core(sd: SD, prefix: str, n_layer: int) -> dict:
+    p = {}
+    for i in range(n_layer):
+        b = f"{prefix}.h.{i}"
+        p[f"h_{i}"] = {
+            "ln_1": layernorm(sd, f"{b}.ln_1"),
+            "attn": {
+                "c_attn": gpt2_conv1d(sd, f"{b}.attn.c_attn"),
+                "c_proj": gpt2_conv1d(sd, f"{b}.attn.c_proj"),
+            },
+            "ln_2": layernorm(sd, f"{b}.ln_2"),
+            "mlp": {
+                "c_fc": gpt2_conv1d(sd, f"{b}.mlp.c_fc"),
+                "c_proj": gpt2_conv1d(sd, f"{b}.mlp.c_proj"),
+            },
+        }
+    p["ln_f"] = layernorm(sd, f"{prefix}.ln_f")
+    return p
+
+
+def convert_unified_voice(sd: SD, cfg: GPTConfig) -> dict:
+    """Full UnifiedVoice state_dict (reference gpt.pth layout) -> flax params."""
+    p = {
+        "conditioning_encoder": convert_conformer(
+            sd, "conditioning_encoder", cfg.condition_module.num_blocks
+        ),
+        "perceiver_encoder": convert_perceiver(sd, "perceiver_encoder"),
+        "emo_conditioning_encoder": convert_conformer(
+            sd, "emo_conditioning_encoder", cfg.emo_condition_module.num_blocks
+        ),
+        "emo_perceiver_encoder": convert_perceiver(sd, "emo_perceiver_encoder"),
+        "text_embedding": embedding(sd, "text_embedding"),
+        "mel_embedding": embedding(sd, "mel_embedding"),
+        "mel_pos_embedding": {"embedding": sd["mel_pos_embedding.emb.weight"]},
+        "text_pos_embedding": {"embedding": sd["text_pos_embedding.emb.weight"]},
+        "speed_emb": embedding(sd, "speed_emb"),
+        "emovec_layer": linear(sd, "emovec_layer"),
+        "emo_layer": linear(sd, "emo_layer"),
+        "final_norm": layernorm(sd, "final_norm"),
+        "mel_head": linear(sd, "mel_head"),
+        "text_head": linear(sd, "text_head"),
+        "gpt": convert_gpt2_core(sd, "gpt", cfg.layers),
+    }
+    return p
+
+
+def to_numpy_sd(torch_state_dict) -> SD:
+    """torch state_dict -> {name: float32 numpy}."""
+    out = {}
+    for k, v in torch_state_dict.items():
+        out[k] = v.detach().cpu().float().numpy()
+    return out
