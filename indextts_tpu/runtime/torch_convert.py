@@ -207,3 +207,148 @@ def to_numpy_sd(torch_state_dict) -> SD:
     for k, v in torch_state_dict.items():
         out[k] = v.detach().cpu().float().numpy()
     return out
+
+
+# ---------------------------------------------------------------------------
+# weight-norm folding (legacy torch.nn.utils.weight_norm: weight_g/weight_v)
+# ---------------------------------------------------------------------------
+
+
+def fold_weight_norm(sd: SD, p: str) -> Array:
+    g = sd[f"{p}.weight_g"]
+    v = sd[f"{p}.weight_v"]
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt(np.sum(v * v, axis=axes, keepdims=True))
+    return g * v / norm
+
+
+def wn_linear(sd: SD, p: str) -> dict:
+    out = {"kernel": _t(fold_weight_norm(sd, p))}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def wn_conv1d_as_dense(sd: SD, p: str) -> dict:
+    w = fold_weight_norm(sd, p)  # (O, I, 1)
+    out = {"kernel": _t(w[:, :, 0])}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def wn_conv1d(sd: SD, p: str) -> dict:
+    w = fold_weight_norm(sd, p)  # (O, I, K)
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0))}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def groupnorm(sd: SD, p: str) -> dict:
+    return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+
+# ---------------------------------------------------------------------------
+# s2mel (DiT + CFM + length regulator + gpt_layer), reference s2mel.pth
+# state["net"] layout (commons.py:579-635)
+# ---------------------------------------------------------------------------
+
+
+def convert_dit(sd: SD, prefix: str, depth: int, wn_layers: int) -> dict:
+    """reference CFM estimator (prefix typically 'estimator')."""
+    e = prefix
+    p = {
+        "t_embedder": {
+            "mlp_0": linear(sd, f"{e}.t_embedder.mlp.0"),
+            "mlp_2": linear(sd, f"{e}.t_embedder.mlp.2"),
+        },
+        "t_embedder2": {
+            "mlp_0": linear(sd, f"{e}.t_embedder2.mlp.0"),
+            "mlp_2": linear(sd, f"{e}.t_embedder2.mlp.2"),
+        },
+        "cond_projection": linear(sd, f"{e}.cond_projection"),
+        "cond_x_merge_linear": linear(sd, f"{e}.cond_x_merge_linear"),
+        "skip_linear": linear(sd, f"{e}.skip_linear"),
+        "conv1": linear(sd, f"{e}.conv1"),
+        "conv2": conv1d_as_dense(sd, f"{e}.conv2"),
+        "res_projection": linear(sd, f"{e}.res_projection"),
+        "final_layer": {
+            "linear": wn_linear(sd, f"{e}.final_layer.linear"),
+            "adaLN_1": linear(sd, f"{e}.final_layer.adaLN_modulation.1"),
+        },
+    }
+    tr = {}
+    n = depth
+    recv = [i for i in range(n) if i > n // 2]
+    for i in range(n):
+        b = f"{e}.transformer.layers.{i}"
+        layer = {
+            "attention": {
+                "wqkv": linear(sd, f"{b}.attention.wqkv"),
+                "wo": linear(sd, f"{b}.attention.wo"),
+            },
+            "feed_forward": {
+                "w1": linear(sd, f"{b}.feed_forward.w1"),
+                "w2": linear(sd, f"{b}.feed_forward.w2"),
+                "w3": linear(sd, f"{b}.feed_forward.w3"),
+            },
+            "attention_norm": {
+                "rms_weight": sd[f"{b}.attention_norm.norm.weight"],
+                "project_layer": linear(sd, f"{b}.attention_norm.project_layer"),
+            },
+            "ffn_norm": {
+                "rms_weight": sd[f"{b}.ffn_norm.norm.weight"],
+                "project_layer": linear(sd, f"{b}.ffn_norm.project_layer"),
+            },
+        }
+        if i in recv:
+            layer["skip_in_linear"] = linear(sd, f"{b}.skip_in_linear")
+        tr[f"layer_{i}"] = layer
+    tr["norm"] = {
+        "rms_weight": sd[f"{e}.transformer.norm.norm.weight"],
+        "project_layer": linear(sd, f"{e}.transformer.norm.project_layer"),
+    }
+    p["transformer"] = tr
+
+    wn = {"cond_layer": wn_conv1d_as_dense(sd, f"{e}.wavenet.cond_layer.conv.conv")}
+    for i in range(wn_layers):
+        wn[f"in_layer_{i}"] = wn_conv1d(sd, f"{e}.wavenet.in_layers.{i}.conv.conv")
+        wn[f"res_skip_{i}"] = wn_conv1d_as_dense(
+            sd, f"{e}.wavenet.res_skip_layers.{i}.conv.conv"
+        )
+    p["wavenet"] = wn
+    return p
+
+
+def convert_length_regulator(sd: SD, n_ratios: int = 4) -> dict:
+    p = {"content_in_proj": linear(sd, "content_in_proj")}
+    for i in range(n_ratios):
+        p[f"conv_{i}"] = conv1d(sd, f"model.{3 * i}")
+        p[f"norm_{i}"] = groupnorm(sd, f"model.{3 * i + 1}")
+    p["out_proj"] = conv1d_as_dense(sd, f"model.{3 * n_ratios}")
+    return p
+
+
+def convert_gpt_layer(sd: SD) -> dict:
+    return {
+        "linear_0": linear(sd, "0"),
+        "linear_1": linear(sd, "1"),
+        "linear_2": linear(sd, "2"),
+    }
+
+
+def convert_s2mel(net: Dict[str, SD], depth: int = 13, wn_layers: int = 8, n_ratios: int = 4) -> dict:
+    """net: {'cfm': sd, 'length_regulator': sd, 'gpt_layer': sd} (each with
+    DDP 'module.' prefixes already stripped)."""
+    return {
+        "cfm_estimator": convert_dit(net["cfm"], "estimator", depth, wn_layers),
+        "length_regulator": convert_length_regulator(net["length_regulator"], n_ratios),
+        "gpt_layer": convert_gpt_layer(net["gpt_layer"]),
+    }
+
+
+def strip_ddp_prefix(sd: SD) -> SD:
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items()
+    }

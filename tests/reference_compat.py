@@ -100,6 +100,11 @@ def install_stubs():
     except ImportError:
         _stub_module("wetext", Normalizer=_Anything)
 
+    # the reference's dead-weight dac package needs audiotools; the live
+    # inference path only touches dac.nn.quantize.VectorQuantize (unused when
+    # vector_quantize=False), so stub the leaf module to skip dac/__init__
+    _stub_module("indextts.s2mel.dac.nn.quantize", VectorQuantize=_Anything)
+
 
 def import_reference(module_name: str, max_patches: int = 60):
     """Import a reference module, auto-stubbing missing third-party names.
