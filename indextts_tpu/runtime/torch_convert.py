@@ -348,6 +348,63 @@ def convert_s2mel(net: Dict[str, SD], depth: int = 13, wn_layers: int = 8, n_rat
     }
 
 
+# ---------------------------------------------------------------------------
+# BigVGAN v2 vocoder
+# ---------------------------------------------------------------------------
+
+
+def _maybe_fold(sd: SD, p: str) -> Array:
+    """Return conv weight, folding legacy weight-norm if present."""
+    if f"{p}.weight_g" in sd:
+        return fold_weight_norm(sd, p)
+    return sd[f"{p}.weight"]
+
+
+def _bv_conv1d(sd: SD, p: str) -> dict:
+    w = _maybe_fold(sd, p)
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0))}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def _bv_convtranspose1d(sd: SD, p: str) -> dict:
+    w = _maybe_fold(sd, p)  # (I, O, K)
+    # flax ConvTranspose wants (K, I, O) with the K axis flipped
+    out = {"kernel": np.ascontiguousarray(w[:, :, ::-1].transpose(2, 0, 1))}
+    if f"{p}.bias" in sd:
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def convert_bigvgan(sd: SD, cfg) -> dict:
+    """Reference BigVGAN state dict (weight-norm or folded) -> flax params.
+    cfg: BigVGANConfig."""
+    p = {
+        "conv_pre": _bv_conv1d(sd, "conv_pre"),
+        "conv_post": _bv_conv1d(sd, "conv_post"),
+        "alpha_post": sd["activation_post.act.alpha"],
+        "beta_post": sd["activation_post.act.beta"],
+    }
+    nk = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        p[f"up_{i}"] = _bv_convtranspose1d(sd, f"ups.{i}.0")
+        for j in range(nk):
+            r = f"resblocks.{i * nk + j}"
+            blk = {}
+            n = len(cfg.resblock_dilation_sizes[j])
+            for m in range(n):
+                blk[f"conv1_{m}"] = _bv_conv1d(sd, f"{r}.convs1.{m}")
+                blk[f"conv2_{m}"] = _bv_conv1d(sd, f"{r}.convs2.{m}")
+                # activations list order: [a1_0, a2_0, a1_1, a2_1, ...]
+                blk[f"alpha1_{m}"] = sd[f"{r}.activations.{2 * m}.act.alpha"]
+                blk[f"beta1_{m}"] = sd[f"{r}.activations.{2 * m}.act.beta"]
+                blk[f"alpha2_{m}"] = sd[f"{r}.activations.{2 * m + 1}.act.alpha"]
+                blk[f"beta2_{m}"] = sd[f"{r}.activations.{2 * m + 1}.act.beta"]
+            p[f"resblock_{i}_{j}"] = blk
+    return p
+
+
 def strip_ddp_prefix(sd: SD) -> SD:
     return {
         (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items()
