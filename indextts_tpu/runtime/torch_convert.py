@@ -405,6 +405,110 @@ def convert_bigvgan(sd: SD, cfg) -> dict:
     return p
 
 
+# ---------------------------------------------------------------------------
+# RepCodec semantic codec (HF safetensors layout, kmeans/repcodec_model.py)
+# ---------------------------------------------------------------------------
+
+
+def _convnext_backbone(sd: SD, prefix: str, num_layers: int) -> dict:
+    p = {
+        "embed": conv1d(sd, f"{prefix}.embed"),
+        "norm": layernorm(sd, f"{prefix}.norm"),
+        "final_layer_norm": layernorm(sd, f"{prefix}.final_layer_norm"),
+    }
+    for i in range(num_layers):
+        b = f"{prefix}.convnext.{i}"
+        p[f"convnext_{i}"] = {
+            "dwconv": conv1d(sd, f"{b}.dwconv"),
+            "norm": layernorm(sd, f"{b}.norm"),
+            "pwconv1": linear(sd, f"{b}.pwconv1"),
+            "pwconv2": linear(sd, f"{b}.pwconv2"),
+            "gamma": sd[f"{b}.gamma"],
+        }
+    return p
+
+
+def convert_repcodec(sd: SD, cfg) -> dict:
+    """cfg: SemanticCodecConfig. Only the inference path (encoder+quantizer)."""
+    q = "quantizer.quantizers.0"
+    return {
+        "encoder_backbone": _convnext_backbone(sd, "encoder.0", cfg.vocos_num_layers),
+        "encoder_out": linear(sd, "encoder.1"),
+        "quantizer": {
+            "in_project": wn_conv1d_as_dense(sd, f"{q}.in_project"),
+            "out_project": wn_conv1d_as_dense(sd, f"{q}.out_project"),
+            "codebook": sd[f"{q}.codebook.weight"],
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# CAMPPlus speaker encoder (campplus/DTDNN.py)
+# ---------------------------------------------------------------------------
+
+
+def batchnorm(sd: SD, p: str, affine: bool = True) -> dict:
+    out = {"mean": sd[f"{p}.running_mean"], "var": sd[f"{p}.running_var"]}
+    if affine:
+        out["scale"] = sd[f"{p}.weight"]
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def _basic_resblock(sd: SD, p: str, has_shortcut: bool) -> dict:
+    out = {
+        "conv1": conv2d(sd, f"{p}.conv1"),
+        "bn1": batchnorm(sd, f"{p}.bn1"),
+        "conv2": conv2d(sd, f"{p}.conv2"),
+        "bn2": batchnorm(sd, f"{p}.bn2"),
+    }
+    if has_shortcut:
+        out["shortcut_conv"] = conv2d(sd, f"{p}.shortcut.0")
+        out["shortcut_bn"] = batchnorm(sd, f"{p}.shortcut.1")
+    return out
+
+
+def convert_campplus(sd: SD, cfg) -> dict:
+    """cfg: CampPlusConfig."""
+    p = {
+        "head": {
+            "conv1": conv2d(sd, "head.conv1"),
+            "bn1": batchnorm(sd, "head.bn1"),
+            "layer1_0": _basic_resblock(sd, "head.layer1.0", True),
+            "layer1_1": _basic_resblock(sd, "head.layer1.1", False),
+            "layer2_0": _basic_resblock(sd, "head.layer2.0", True),
+            "layer2_1": _basic_resblock(sd, "head.layer2.1", False),
+            "conv2": conv2d(sd, "head.conv2"),
+            "bn2": batchnorm(sd, "head.bn2"),
+        },
+        "tdnn_conv": conv1d(sd, "xvector.tdnn.linear"),
+        "tdnn_bn": batchnorm(sd, "xvector.tdnn.nonlinear.batchnorm"),
+        "out_bn": batchnorm(sd, "xvector.out_nonlinear.batchnorm"),
+        "dense_linear": conv1d_as_dense(sd, "xvector.dense.linear"),
+        "dense_bn": batchnorm(sd, "xvector.dense.nonlinear.batchnorm", affine=False),
+    }
+    for bi, num_layers in enumerate((12, 24, 16)):
+        for li in range(num_layers):
+            b = f"xvector.block{bi + 1}.tdnnd{li + 1}"
+            p[f"block{bi + 1}_tdnnd{li + 1}"] = {
+                "nonlinear1_bn": batchnorm(sd, f"{b}.nonlinear1.batchnorm"),
+                "linear1": conv1d_as_dense(sd, f"{b}.linear1"),
+                "nonlinear2_bn": batchnorm(sd, f"{b}.nonlinear2.batchnorm"),
+                "cam_layer": {
+                    "linear_local": conv1d(sd, f"{b}.cam_layer.linear_local"),
+                    "linear1": conv1d_as_dense(sd, f"{b}.cam_layer.linear1"),
+                    "linear2": conv1d_as_dense(sd, f"{b}.cam_layer.linear2"),
+                },
+            }
+        p[f"transit{bi + 1}_bn"] = batchnorm(
+            sd, f"xvector.transit{bi + 1}.nonlinear.batchnorm"
+        )
+        p[f"transit{bi + 1}_linear"] = conv1d_as_dense(
+            sd, f"xvector.transit{bi + 1}.linear"
+        )
+    return p
+
+
 def strip_ddp_prefix(sd: SD) -> SD:
     return {
         (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items()
