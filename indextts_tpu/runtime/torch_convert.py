@@ -509,6 +509,54 @@ def convert_campplus(sd: SD, cfg) -> dict:
     return p
 
 
+# ---------------------------------------------------------------------------
+# w2v-BERT 2.0 (HF Wav2Vec2BertModel state dict)
+# ---------------------------------------------------------------------------
+
+
+def convert_w2vbert(sd: SD, cfg) -> dict:
+    """cfg: W2VBertConfig. Only feature_projection + first tap_layer layers."""
+    p = {
+        "fp_layer_norm": layernorm(sd, "feature_projection.layer_norm"),
+        "fp_projection": linear(sd, "feature_projection.projection"),
+    }
+    for i in range(cfg.tap_layer):
+        b = f"encoder.layers.{i}"
+        layer = {
+            "ffn1_layer_norm": layernorm(sd, f"{b}.ffn1_layer_norm"),
+            "ffn1": {
+                "intermediate_dense": linear(sd, f"{b}.ffn1.intermediate_dense"),
+                "output_dense": linear(sd, f"{b}.ffn1.output_dense"),
+            },
+            "self_attn_layer_norm": layernorm(sd, f"{b}.self_attn_layer_norm"),
+            "self_attn": {
+                "linear_q": linear(sd, f"{b}.self_attn.linear_q"),
+                "linear_k": linear(sd, f"{b}.self_attn.linear_k"),
+                "linear_v": linear(sd, f"{b}.self_attn.linear_v"),
+                "linear_out": linear(sd, f"{b}.self_attn.linear_out"),
+            },
+            "conv_module": {
+                "layer_norm": layernorm(sd, f"{b}.conv_module.layer_norm"),
+                "pointwise_conv1": conv1d_as_dense(sd, f"{b}.conv_module.pointwise_conv1"),
+                "depthwise_conv": depthwise_conv1d(sd, f"{b}.conv_module.depthwise_conv"),
+                "depthwise_layer_norm": layernorm(sd, f"{b}.conv_module.depthwise_layer_norm"),
+                "pointwise_conv2": conv1d_as_dense(sd, f"{b}.conv_module.pointwise_conv2"),
+            },
+            "ffn2_layer_norm": layernorm(sd, f"{b}.ffn2_layer_norm"),
+            "ffn2": {
+                "intermediate_dense": linear(sd, f"{b}.ffn2.intermediate_dense"),
+                "output_dense": linear(sd, f"{b}.ffn2.output_dense"),
+            },
+            "final_layer_norm": layernorm(sd, f"{b}.final_layer_norm"),
+        }
+        if cfg.position_embeddings_type == "relative_key":
+            layer["self_attn"]["distance_embedding"] = sd[
+                f"{b}.self_attn.distance_embedding.weight"
+            ]
+        p[f"layer_{i}"] = layer
+    return p
+
+
 def strip_ddp_prefix(sd: SD) -> SD:
     return {
         (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items()
