@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""End-to-end synthesis benchmark on the available accelerator.
+
+Runs the full-size IndexTTS2 cascade (random weights — checkpoints don't ship
+with the reference snapshot) with a fixed, deterministic token budget per
+segment, and reports steady-state audio-seconds-generated per wall-second.
+
+Baseline (BASELINE.md): the reference generates 9.25 s of audio in 169.4 s on
+an RTX 2070 (fp16, cold) => 0.0546 audio-sec/s. `vs_baseline` is the ratio of
+our throughput to that number. RTF (wall/audio) is also printed to stderr.
+
+Output: ONE json line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from indextts_tpu.config import IndexTTS2Config, RuntimeConfig
+    from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+    from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    cfg = IndexTTS2Config(
+        runtime=RuntimeConfig(diffusion_steps=int(os.environ.get("BENCH_DIFFUSION_STEPS", "20")))
+    )
+    t0 = time.perf_counter()
+    params = random_params(cfg, seed=0)
+    log(f"params initialized in {time.perf_counter() - t0:.1f}s")
+
+    engine = IndexTTS2Engine(cfg, params, gpt_dtype=jnp.bfloat16)
+    # deterministic-length decoding for benchmarking
+    engine.decoder = GPTDecoder(
+        engine.gpt,
+        cfg.gpt,
+        SamplingConfig(do_sample=True, top_k=30, ban_stop_token=True),
+    )
+
+    rng = np.random.default_rng(0)
+    sr = 16000
+    prompt = (rng.standard_normal(5 * sr) * 0.1).astype(np.float32)
+
+    n_text = int(os.environ.get("BENCH_TEXT_TOKENS", "64"))
+    n_codes = int(os.environ.get("BENCH_MEL_TOKENS", "400"))
+    text = rng.integers(2, cfg.gpt.number_text_tokens, n_text)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    out = engine.infer((prompt, sr), [text], seed=0, max_mel_tokens=n_codes)
+    compile_time = time.perf_counter() - t0
+    log(f"warmup (incl. compile): {compile_time:.1f}s, audio={out['duration_sec']:.2f}s")
+
+    # timed steady-state runs
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    total_wall = 0.0
+    total_audio = 0.0
+    stage_totals = {"gpt_gen": 0.0, "gpt_fwd": 0.0, "s2mel": 0.0, "bigvgan": 0.0}
+    for i in range(n_runs):
+        t0 = time.perf_counter()
+        out = engine.infer((prompt, sr), [text], seed=i + 1, max_mel_tokens=n_codes)
+        wall = time.perf_counter() - t0
+        total_wall += wall
+        total_audio += out["duration_sec"]
+        for s in out["stats"]:
+            stage_totals["gpt_gen"] += s.gpt_gen_time
+            stage_totals["gpt_fwd"] += s.gpt_forward_time
+            stage_totals["s2mel"] += s.s2mel_time
+            stage_totals["bigvgan"] += s.bigvgan_time
+        log(
+            f"run {i}: wall={wall:.2f}s audio={out['duration_sec']:.2f}s "
+            f"rtf={out['rtf']:.3f}"
+        )
+
+    audio_per_s = total_audio / total_wall
+    rtf = total_wall / total_audio
+    log(f"stages: {stage_totals}")
+    log(f"steady-state: {audio_per_s:.2f} audio-sec/s (RTF {rtf:.3f})")
+
+    baseline_audio_per_s = 9.25 / 169.4  # BASELINE.md row 1
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_generated_per_wall_sec",
+                "value": round(audio_per_s, 3),
+                "unit": "audio-sec/s",
+                "vs_baseline": round(audio_per_s / baseline_audio_per_s, 2),
+                "rtf": round(rtf, 4),
+                "tokens_per_s": round(n_codes * n_runs / stage_totals["gpt_gen"], 1)
+                if stage_totals["gpt_gen"] > 0
+                else None,
+                "compile_s": round(compile_time, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

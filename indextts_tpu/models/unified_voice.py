@@ -197,6 +197,81 @@ class UnifiedVoice(nn.Module):
         )
 
     # ------------------------------------------------------------------
+    # Training forward: text + mel logits with aligned targets
+    # (the objective implied by get_logits, model_v2.py:597-625; the
+    # reference ships no training loop — this is ours)
+    # ------------------------------------------------------------------
+
+    def forward_train(
+        self,
+        spk_latents: jnp.ndarray,
+        text_ids: jnp.ndarray,
+        text_lens: jnp.ndarray,
+        mel_codes: jnp.ndarray,
+        mel_lens: jnp.ndarray,
+        emovec: jnp.ndarray,
+    ):
+        """Returns (text_logits, mel_logits, text_targets, mel_targets),
+        logits (B, L, V); targets are the right-shifted aligned sequences."""
+        c = self.cfg
+        B, Lt = text_ids.shape
+        Lm = mel_codes.shape[1]
+
+        pos_t = jnp.arange(Lt)
+        text_ids = jnp.where(
+            pos_t[None] < text_lens[:, None], text_ids, c.stop_text_token
+        )
+        text_inp = jnp.concatenate(
+            [
+                jnp.full((B, 1), c.start_text_token, jnp.int32),
+                text_ids.astype(jnp.int32),
+                jnp.full((B, 1), c.stop_text_token, jnp.int32),
+            ],
+            axis=1,
+        )
+        text_tar = jnp.concatenate(
+            [
+                text_ids.astype(jnp.int32),
+                jnp.full((B, 2), c.stop_text_token, jnp.int32),
+            ],
+            axis=1,
+        )
+        pos_m = jnp.arange(Lm)
+        mel_codes = jnp.where(
+            pos_m[None] < mel_lens[:, None], mel_codes, c.stop_mel_token
+        )
+        mel_inp = jnp.concatenate(
+            [
+                jnp.full((B, 1), c.start_mel_token, jnp.int32),
+                mel_codes.astype(jnp.int32),
+                jnp.full((B, 1), c.stop_mel_token, jnp.int32),
+            ],
+            axis=1,
+        )
+        mel_tar = jnp.concatenate(
+            [
+                mel_codes.astype(jnp.int32),
+                jnp.full((B, 2), c.stop_mel_token, jnp.int32),
+            ],
+            axis=1,
+        )
+
+        text_emb = self.text_embedding(text_inp) + self.text_pos_embedding(
+            jnp.arange(Lt + 2)[None]
+        )
+        mel_emb = self.mel_embedding(mel_inp) + self.mel_pos_embedding(
+            jnp.arange(Lm + 2)[None]
+        )
+        conds = self.build_conds_latent(spk_latents, emovec)
+        emb = jnp.concatenate([conds, text_emb, mel_emb], axis=1)
+        hidden, _ = self.gpt(emb)
+        offset = conds.shape[1]
+        enc = self.final_norm(hidden[:, offset:].astype(jnp.float32))
+        text_logits = self.text_head(enc[:, : Lt + 2])
+        mel_logits = self.mel_head(enc[:, -(Lm + 2):])
+        return text_logits, mel_logits, text_tar, mel_tar
+
+    # ------------------------------------------------------------------
     # Teacher-forced latent pass (model_v2.py:673-723)
     # ------------------------------------------------------------------
 

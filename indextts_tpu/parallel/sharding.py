@@ -1,0 +1,96 @@
+"""Mesh construction and parameter partition specs.
+
+Design (SURVEY §2.7 TPU plan): one 2-D mesh (data, model).
+  * data  — utterance batches, DP across hosts; gradients psum over DCN.
+  * model — tensor parallelism over ICI: GPT-2 attention/MLP column+row
+    sharding (c_attn/c_fc outputs sharded, c_proj inputs sharded; XLA inserts
+    the psum at block boundaries), embeddings sharded on the vocab axis.
+
+Everything degrades gracefully to mesh=(1,1) single chip.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = data * model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dev_array = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+# Partition rules for the UnifiedVoice param tree: (regex on the flattened
+# path, PartitionSpec). First match wins; default is replicated.
+GPT_PARTITION_RULES = [
+    # GPT-2 blocks: column-shard fused qkv + mlp up, row-shard projections
+    (r"gpt/h_\d+/attn/c_attn/kernel", P(None, "model")),
+    (r"gpt/h_\d+/attn/c_attn/bias", P("model")),
+    (r"gpt/h_\d+/attn/c_proj/kernel", P("model", None)),
+    (r"gpt/h_\d+/mlp/c_fc/kernel", P(None, "model")),
+    (r"gpt/h_\d+/mlp/c_fc/bias", P("model")),
+    (r"gpt/h_\d+/mlp/c_proj/kernel", P("model", None)),
+    # big embeddings / heads: shard the vocab axis
+    (r"text_embedding/embedding", P("model", None)),
+    (r"mel_embedding/embedding", P("model", None)),
+    (r"mel_head/kernel", P(None, "model")),
+    (r"mel_head/bias", P("model")),
+    (r"text_head/kernel", P(None, "model")),
+    (r"text_head/bias", P("model")),
+    # conformer FFNs (small; shard the hidden axis anyway)
+    (r"feed_forward/w_1/kernel", P(None, "model")),
+    (r"feed_forward/w_2/kernel", P("model", None)),
+]
+
+DIT_PARTITION_RULES = [
+    (r"transformer/layer_\d+/attention/wqkv/kernel", P(None, "model")),
+    (r"transformer/layer_\d+/attention/wo/kernel", P("model", None)),
+    (r"transformer/layer_\d+/feed_forward/w1/kernel", P(None, "model")),
+    (r"transformer/layer_\d+/feed_forward/w3/kernel", P(None, "model")),
+    (r"transformer/layer_\d+/feed_forward/w2/kernel", P("model", None)),
+]
+
+
+def spec_for_path(path: str, rules) -> P:
+    for pat, spec in rules:
+        if re.search(pat, path):
+            return spec
+    return P()
+
+
+def shard_params(params, mesh: Mesh, rules) -> Any:
+    """Place a param tree on the mesh according to the rules."""
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        pstr = jax.tree_util.keystr(path, simple=True, separator="/")
+        spec = spec_for_path(pstr, rules)
+        # drop specs that do not divide the axis evenly
+        fixed = []
+        for axis_idx, name in enumerate(spec):
+            if name is None:
+                fixed.append(None)
+                continue
+            size = mesh.shape[name]
+            if axis_idx < leaf.ndim and leaf.shape[axis_idx] % size == 0:
+                fixed.append(name)
+            else:
+                fixed.append(None)
+        sharding = NamedSharding(mesh, P(*fixed) if fixed else P())
+        out.append(jax.device_put(leaf, sharding))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def replicate_params(params, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), params
+    )

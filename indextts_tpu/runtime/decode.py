@@ -40,6 +40,9 @@ class SamplingConfig:
     # include the HF fake-prompt tokens {1, start_mel} in the penalty set,
     # replicating reference generate() over fake_inputs (model_v2.py:785-794)
     hf_fake_prompt_penalty: bool = True
+    # benchmarking: never emit the stop token, so generation length is exactly
+    # max_new (deterministic work regardless of weights)
+    ban_stop_token: bool = False
 
 
 @dataclass
@@ -210,6 +213,8 @@ class GPTDecoder:
             lg = logits
             if s.use_repetition_penalty:
                 lg = _repetition_penalty(lg, penal_mask, repetition_penalty)
+            if s.ban_stop_token:
+                lg = lg.at[:, cfg.stop_mel_token].set(NEG_INF)
             if s.do_sample:
                 tok = _apply_top_k_top_p_sample(lg, sub, temperature, top_p, s.top_k)
             else:

@@ -559,8 +559,22 @@ class IndexTTS2Engine:
 # ---------------------------------------------------------------------------
 
 
-def random_params(cfg: IndexTTS2Config, seed: int = 0) -> Dict[str, Any]:
-    """Random-initialized params for every model (dev/bench without ckpts)."""
+def random_params(cfg: IndexTTS2Config, seed: int = 0, fast: bool = True) -> Dict[str, Any]:
+    """Random-initialized params for every model (dev/bench without ckpts).
+
+    fast=True: resolve shapes with jax.eval_shape, fill with host numpy
+    (no device traffic — flax init on a tunneled TPU is minutes-slow)."""
+    if fast:
+        shapes = jax.eval_shape(lambda: random_params(cfg, seed, fast=False))
+        rng = np.random.default_rng(seed)
+
+        def fill(leaf):
+            return (rng.standard_normal(leaf.shape, dtype=np.float32) * 0.02).astype(
+                leaf.dtype
+            )
+
+        return jax.tree_util.tree_map(fill, shapes)
+
     k = jax.random.PRNGKey(seed)
     ks = jax.random.split(k, 6)
     gpt = UnifiedVoice(cfg.gpt)
