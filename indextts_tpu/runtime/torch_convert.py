@@ -557,6 +557,42 @@ def convert_w2vbert(sd: SD, cfg) -> dict:
     return p
 
 
+# ---------------------------------------------------------------------------
+# Qwen3 causal LM (HF Qwen3ForCausalLM state dict)
+# ---------------------------------------------------------------------------
+
+
+def convert_qwen3(sd: SD, cfg) -> dict:
+    """cfg: QwenEmoConfig. Tied embeddings (no separate lm_head needed)."""
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+    p = {
+        "embed_tokens": {"embedding": sd[f"{pre}embed_tokens.weight"]},
+        "norm": {"weight": sd[f"{pre}norm.weight"]},
+    }
+    for i in range(cfg.num_hidden_layers):
+        b = f"{pre}layers.{i}"
+        p[f"layer_{i}"] = {
+            "input_layernorm": {"weight": sd[f"{b}.input_layernorm.weight"]},
+            "post_attention_layernorm": {
+                "weight": sd[f"{b}.post_attention_layernorm.weight"]
+            },
+            "self_attn": {
+                "q_proj": linear(sd, f"{b}.self_attn.q_proj"),
+                "k_proj": linear(sd, f"{b}.self_attn.k_proj"),
+                "v_proj": linear(sd, f"{b}.self_attn.v_proj"),
+                "o_proj": linear(sd, f"{b}.self_attn.o_proj"),
+                "q_norm": {"weight": sd[f"{b}.self_attn.q_norm.weight"]},
+                "k_norm": {"weight": sd[f"{b}.self_attn.k_norm.weight"]},
+            },
+            "mlp": {
+                "gate_proj": linear(sd, f"{b}.mlp.gate_proj"),
+                "up_proj": linear(sd, f"{b}.mlp.up_proj"),
+                "down_proj": linear(sd, f"{b}.mlp.down_proj"),
+            },
+        }
+    return p
+
+
 def strip_ddp_prefix(sd: SD) -> SD:
     return {
         (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items()
