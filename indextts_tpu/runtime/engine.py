@@ -101,12 +101,15 @@ class IndexTTS2Engine:
         self.campplus = CAMPPlus(cfg.campplus)
         self.w2vbert = W2VBertEncoder(cfg.w2vbert)
 
-        self.p_gpt = params["gpt"]
-        self.p_s2mel = params["s2mel"]
-        self.p_bigvgan = params["bigvgan"]
-        self.p_repcodec = params["repcodec"]
-        self.p_campplus = params["campplus"]
-        self.p_w2vbert = params["w2vbert"]
+        # device-put once; NEVER close over params in jitted fns (closed-over
+        # arrays become inline MLIR constants -> minutes-long compiles)
+        put = jax.device_put
+        self.p_gpt = put(params["gpt"])
+        self.p_s2mel = put(params["s2mel"])
+        self.p_bigvgan = put(params["bigvgan"])
+        self.p_repcodec = put(params["repcodec"])
+        self.p_campplus = put(params["campplus"])
+        self.p_w2vbert = put(params["w2vbert"])
 
         if semantic_stats is None:
             mean = np.zeros(cfg.w2vbert.hidden_size, np.float32)
@@ -146,30 +149,38 @@ class IndexTTS2Engine:
             self._s2mel_mel, static_argnames=("target_len", "total_len")
         )
         self._vocoder_program = jax.jit(self._vocode)
+        self._quantize_program = jax.jit(
+            lambda p, x: self.repcodec.apply({"params": p}, x, method=RepCodec.quantize)
+        )
+        self._build_conds_program = jax.jit(
+            lambda p, lat, ev: self.gpt.apply(
+                {"params": p}, lat, ev, method=UnifiedVoice.build_conds_latent
+            )
+        )
 
     # ------------------------------------------------------------------
     # jitted bodies
     # ------------------------------------------------------------------
 
-    def _w2v_features(self, features, mask):
-        h = self.w2vbert.apply({"params": self.p_w2vbert}, features, mask)
-        h = (h - self.semantic_mean) / self.semantic_std
+    def _w2v_features(self, p_w2vbert, features, mask, mean, std):
+        h = self.w2vbert.apply({"params": p_w2vbert}, features, mask)
+        h = (h - mean) / std
         return h
 
-    def _campplus_style(self, fbank):
-        return self.campplus.apply({"params": self.p_campplus}, fbank)
+    def _campplus_style(self, p_campplus, fbank):
+        return self.campplus.apply({"params": p_campplus}, fbank)
 
-    def _speaker_latents(self, cond_emb, cond_len):
+    def _speaker_latents(self, p_gpt, cond_emb, cond_len):
         return self.gpt.apply(
-            {"params": self.p_gpt},
+            {"params": p_gpt},
             cond_emb,
             cond_len,
             method=UnifiedVoice.get_conditioning,
         )
 
-    def _merge_emovec(self, spk_cond, emo_cond, spk_len, emo_len, alpha):
+    def _merge_emovec(self, p_gpt, spk_cond, emo_cond, spk_len, emo_len, alpha):
         return self.gpt.apply(
-            {"params": self.p_gpt},
+            {"params": p_gpt},
             spk_cond,
             emo_cond,
             spk_len,
@@ -178,9 +189,9 @@ class IndexTTS2Engine:
             method=UnifiedVoice.merge_emovec,
         )
 
-    def _gpt_latent(self, spk_latents, text_ids, text_len, codes, code_len, emovec):
+    def _gpt_latent(self, p_gpt, spk_latents, text_ids, text_len, codes, code_len, emovec):
         return self.gpt.apply(
-            {"params": self.p_gpt},
+            {"params": p_gpt},
             spk_latents,
             text_ids,
             text_len,
@@ -192,6 +203,8 @@ class IndexTTS2Engine:
 
     def _s2mel_mel(
         self,
+        p_s2mel,
+        p_repcodec,
         latent,
         codes,
         code_len,
@@ -204,10 +217,10 @@ class IndexTTS2Engine:
         total_len: int,
     ):
         """gpt_layer + vq2emb + length-regulate + CFM (infer_v2.py:830-856)."""
-        sp = {"params": self.p_s2mel}
+        sp = {"params": p_s2mel}
         latent = self.s2mel.apply(sp, latent, method=S2Mel.project_gpt_latent)
         s_infer = self.repcodec.apply(
-            {"params": self.p_repcodec}, codes, method=RepCodec.vq2emb
+            {"params": p_repcodec}, codes, method=RepCodec.vq2emb
         )
         s_infer = s_infer + latent
         target_lengths = jnp.floor(code_len.astype(jnp.float32) * 1.72).astype(jnp.int32)
@@ -232,8 +245,8 @@ class IndexTTS2Engine:
         )
         return vc
 
-    def _vocode(self, mel):
-        return self.bigvgan.apply({"params": self.p_bigvgan}, mel)
+    def _vocode(self, p_bigvgan, mel):
+        return self.bigvgan.apply({"params": p_bigvgan}, mel)
 
     # ------------------------------------------------------------------
     # conditioning extraction (infer_v2.py:618-666)
@@ -250,12 +263,10 @@ class IndexTTS2Engine:
         audio_22k = audio_utils.resample(audio, sr, 22050)
 
         features, mask = feat.seamless_features(audio_16k)
-        cond_emb = self._w2v_program(jnp.asarray(features), jnp.asarray(mask))
+        cond_emb = self._w2v_program(self.p_w2vbert, jnp.asarray(features), jnp.asarray(mask), self.semantic_mean, self.semantic_std)
         cond_len = int(mask.sum())
 
-        _, s_ref = self.repcodec.apply(
-            {"params": self.p_repcodec}, cond_emb, method=RepCodec.quantize
-        )
+        _, s_ref = self._quantize_program(self.p_repcodec, cond_emb)
 
         ref_mel = mel_ops.mel_spectrogram(
             jnp.asarray(audio_22k[None]), self.cfg.s2mel.mel
@@ -264,7 +275,7 @@ class IndexTTS2Engine:
 
         fb = feat.campplus_fbank(audio_16k)
         fb = fb - fb.mean(axis=0, keepdims=True)
-        style = self._campplus_program(jnp.asarray(fb[None]))
+        style = self._campplus_program(self.p_campplus, jnp.asarray(fb[None]))
 
         prompt_condition = length_regulate(
             self.s2mel,
@@ -274,7 +285,7 @@ class IndexTTS2Engine:
             ref_mel_len,
         )
 
-        spk_latents = self._conds_program(cond_emb, jnp.asarray([cond_len]))
+        spk_latents = self._conds_program(self.p_gpt, cond_emb, jnp.asarray([cond_len]))
 
         out = SpeakerConditioning(
             spk_cond_emb=cond_emb,
@@ -297,7 +308,7 @@ class IndexTTS2Engine:
         audio = audio[: 15 * sr]
         audio_16k = audio_utils.resample(audio, sr, 16000)
         features, mask = feat.seamless_features(audio_16k)
-        cond_emb = self._w2v_program(jnp.asarray(features), jnp.asarray(mask))
+        cond_emb = self._w2v_program(self.p_w2vbert, jnp.asarray(features), jnp.asarray(mask), self.semantic_mean, self.semantic_std)
         out = EmotionConditioning(emo_cond_emb=cond_emb, cond_len=int(mask.sum()))
         if cache_key is not None:
             self._emo_cache[cache_key] = out
@@ -360,6 +371,7 @@ class IndexTTS2Engine:
 
         # emotion vector
         emovec = self._emovec_program(
+            self.p_gpt,
             spk.spk_cond_emb,
             emo.emo_cond_emb,
             jnp.asarray([spk.cond_len]),
@@ -373,12 +385,7 @@ class IndexTTS2Engine:
             weight_sum = float(np.sum(emo_vector))
             emovec = jnp.asarray(mat_vec) + (1.0 - weight_sum) * emovec
 
-        conds = self.gpt.apply(
-            {"params": self.p_gpt},
-            spk.spk_latents,
-            emovec,
-            method=UnifiedVoice.build_conds_latent,
-        )
+        conds = self._build_conds_program(self.p_gpt, spk.spk_latents, emovec)
 
         # text bucket
         n = len(text_ids)
@@ -420,6 +427,7 @@ class IndexTTS2Engine:
         codes_arr = np.full((1, code_bucket), self.cfg.gpt.stop_mel_token, np.int32)
         codes_arr[0, :code_len] = codes_np[0, :code_len]
         latent = self._latent_program(
+            self.p_gpt,
             spk.spk_latents,
             jnp.asarray(np.asarray(text_ids)[None], jnp.int32),
             jnp.asarray([n]),
@@ -444,6 +452,8 @@ class IndexTTS2Engine:
             nkey, (1, self.cfg.s2mel.dit.in_channels, total_len), jnp.float32
         )
         vc = self._s2mel_program(
+            self.p_s2mel,
+            self.p_repcodec,
             latent[:, :code_bucket],
             jnp.asarray(codes_arr),
             jnp.asarray([code_len]),
@@ -468,7 +478,7 @@ class IndexTTS2Engine:
                     ((0, 0), (0, 0), (0, pad_frames)),
                     constant_values=float(np.log(1e-5)),
                 )
-        wav = self._vocoder_program(mel_out)
+        wav = self._vocoder_program(self.p_bigvgan, mel_out)
         wav = np.asarray(wav)[0]
         wav = wav[: target_len_exact * self.cfg.vocoder.total_upsample]
         t_voc = time.perf_counter() - t3
@@ -569,9 +579,9 @@ def random_params(cfg: IndexTTS2Config, seed: int = 0, fast: bool = True) -> Dic
         rng = np.random.default_rng(seed)
 
         def fill(leaf):
-            return (rng.standard_normal(leaf.shape, dtype=np.float32) * 0.02).astype(
-                leaf.dtype
-            )
+            # strictly positive values: BatchNorm variance leaves must be > 0
+            v = rng.random(leaf.shape, dtype=np.float32) * 0.04 + 0.01
+            return v.astype(leaf.dtype)
 
         return jax.tree_util.tree_map(fill, shapes)
 
