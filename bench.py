@@ -39,7 +39,8 @@ def main():
         runtime=RuntimeConfig(diffusion_steps=int(os.environ.get("BENCH_DIFFUSION_STEPS", "20")))
     )
     t0 = time.perf_counter()
-    params = random_params(cfg, seed=0)
+    seed = 0 if os.environ.get("BENCH_RANDOM_PARAMS") else None
+    params = random_params(cfg, seed=seed)
     log(f"params initialized in {time.perf_counter() - t0:.1f}s")
 
     engine = IndexTTS2Engine(cfg, params, gpt_dtype=jnp.bfloat16)

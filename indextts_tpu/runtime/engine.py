@@ -492,6 +492,93 @@ class IndexTTS2Engine:
             bigvgan_time=t_voc,
         )
 
+    def infer_text(
+        self,
+        spk_audio: Union[str, Tuple[np.ndarray, int]],
+        text: str,
+        max_text_tokens_per_segment: Optional[int] = None,
+        **kwargs,
+    ):
+        """Text-level API: normalize + tokenize + split segments, then infer.
+        Requires a tokenizer (engine ctor arg)."""
+        if self.tokenizer is None:
+            raise ValueError("engine has no tokenizer; pass pre-tokenized segments to infer()")
+        max_seg = max_text_tokens_per_segment or self.cfg.runtime.max_text_tokens_per_segment
+        pieces = self.tokenizer.tokenize(text)
+        segments = self.tokenizer.split_segments(pieces, max_seg)
+        seg_ids = [
+            np.asarray(self.tokenizer.convert_tokens_to_ids(s), np.int32)
+            for s in segments
+        ]
+        return self.infer(spk_audio, seg_ids, **kwargs)
+
+    @staticmethod
+    def remove_long_silence(
+        codes: np.ndarray, stop_token: int, silent_token: int = 52,
+        max_consecutive: int = 30,
+    ) -> Tuple[np.ndarray, int]:
+        """infer_v2.py:410-465: if a sequence contains more than
+        `max_consecutive` silent tokens total, keep at most 10 consecutive
+        ones. Returns (trimmed codes (T',), length)."""
+        code = codes
+        stop_idx = np.nonzero(code == stop_token)[0]
+        length = int(stop_idx[0]) if len(stop_idx) else len(code)
+        code = code[:length]
+        if int(np.sum(code == silent_token)) > max_consecutive:
+            keep = []
+            run = 0
+            for k in range(length):
+                if code[k] != silent_token:
+                    keep.append(k)
+                    run = 0
+                elif run < 10:
+                    keep.append(k)
+                    run += 1
+            code = code[keep]
+        return code, len(code)
+
+    def infer_generator(
+        self,
+        spk_audio: Union[str, Tuple[np.ndarray, int]],
+        text_ids_segments: List[np.ndarray],
+        emo_audio: Optional[Union[str, Tuple[np.ndarray, int]]] = None,
+        emo_alpha: float = 1.0,
+        emo_vector: Optional[Sequence[float]] = None,
+        use_random: bool = False,
+        interval_silence: int = 200,
+        seed: Optional[int] = None,
+        **gen_kwargs,
+    ) -> Generator[np.ndarray, None, None]:
+        """Streaming synthesis: yields per-segment waveforms then the
+        inter-segment silence (infer_v2.py:874-879 stream_return semantics)."""
+        if isinstance(spk_audio, str):
+            audio, sr = audio_utils.load_wav(spk_audio)
+            spk = self.prepare_speaker(audio, sr, cache_key=spk_audio)
+        else:
+            spk = self.prepare_speaker(*spk_audio)
+        if emo_vector is not None:
+            emo_audio = None
+        if emo_audio is None:
+            emo = EmotionConditioning(spk.spk_cond_emb, spk.cond_len)
+            emo_alpha = 1.0
+        elif isinstance(emo_audio, str):
+            audio, sr = audio_utils.load_wav(emo_audio)
+            emo = self.prepare_emotion(audio, sr, cache_key=emo_audio)
+        else:
+            emo = self.prepare_emotion(*emo_audio)
+
+        sr_out = self.cfg.runtime.sampling_rate
+        sil = np.zeros(int(sr_out * interval_silence / 1000.0), np.float32)
+        for i, seg in enumerate(text_ids_segments):
+            r = self.synthesize_segment(
+                spk, emo, np.asarray(seg),
+                emo_alpha=emo_alpha, emo_vector=emo_vector, use_random=use_random,
+                seed=None if seed is None else seed + i, **gen_kwargs,
+            )
+            yield r.wav
+            if interval_silence > 0:
+                yield sil
+
     def infer(
         self,
         spk_audio: Union[str, Tuple[np.ndarray, int]],
@@ -573,12 +660,15 @@ def random_params(cfg: IndexTTS2Config, seed: int = 0, fast: bool = True) -> Dic
     """Random-initialized params for every model (dev/bench without ckpts).
 
     fast=True: resolve shapes with jax.eval_shape, fill with host numpy
-    (no device traffic — flax init on a tunneled TPU is minutes-slow)."""
+    (no device traffic — flax init on a tunneled TPU is minutes-slow).
+    seed=None: constant fill (instant; for pure throughput benchmarking)."""
     if fast:
-        shapes = jax.eval_shape(lambda: random_params(cfg, seed, fast=False))
-        rng = np.random.default_rng(seed)
+        shapes = jax.eval_shape(lambda: random_params(cfg, 0, fast=False))
+        rng = np.random.default_rng(seed) if seed is not None else None
 
         def fill(leaf):
+            if rng is None:
+                return np.full(leaf.shape, 0.02, dtype=leaf.dtype)
             # strictly positive values: BatchNorm variance leaves must be > 0
             v = rng.random(leaf.shape, dtype=np.float32) * 0.04 + 0.01
             return v.astype(leaf.dtype)
