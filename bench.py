@@ -26,6 +26,16 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compile cache: cold-start dominated by XLA compiles (~17 min
+    # for the full cascade); warm process restarts reuse them
+    cache_dir = os.environ.get("JAX_COMPILE_CACHE", "/tmp/indextts_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compile cache unavailable: {e}")
     import jax.numpy as jnp
 
     from indextts_tpu.config import IndexTTS2Config, RuntimeConfig
