@@ -1,0 +1,98 @@
+"""TTS server entrypoint (reference: serve_tars.py).
+
+  python -m indextts_tpu.serve --model-dir checkpoints --port 8000
+
+Env knobs keep the TARS_* names (serve_tars.py:52-93): TARS_MAX_CONCURRENCY,
+TARS_ENABLE_STREAMING, TARS_REFERENCE_AUDIO, TARS_WARMUP,
+TARS_DIFFUSION_STEPS, TARS_CFG_RATE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="indextts-tpu-serve")
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--reference-audio", default=None,
+                   help="default speaker prompt wav")
+    args = p.parse_args(argv)
+
+    from indextts_tpu.config import load_config
+    from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+    from indextts_tpu.runtime.server import ServerSettings, TTSServer
+    from indextts_tpu.utils.obs import GracefulShutdown, print_stage, setup_logging
+
+    setup_logging()
+    t0 = time.perf_counter()
+    print_stage("Loading models", "progress")
+    if args.model_dir:
+        from indextts_tpu.runtime.loader import load_engine
+
+        engine = load_engine(args.model_dir, cfg_path=args.cfg)
+    else:
+        print(">> no --model-dir: random weights (smoke-test mode)", file=sys.stderr)
+        cfg = load_config(args.cfg)
+        engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    print_stage("Models loaded", "complete", time.perf_counter() - t0)
+
+    settings = ServerSettings(host=args.host, port=args.port)
+    default_prompt = args.reference_audio or settings.reference_audio or None
+
+    import numpy as np
+
+    def synth(text="", spk_audio=None, emo_audio=None, emo_alpha=1.0,
+              emo_vector=None, seed=None, **kw):
+        spk = spk_audio or default_prompt
+        if spk is None:
+            raise ValueError("no speaker prompt: pass spk_audio or set TARS_REFERENCE_AUDIO")
+        if engine.tokenizer is not None:
+            return engine.infer_text(
+                spk, text, emo_audio=emo_audio, emo_alpha=emo_alpha,
+                emo_vector=emo_vector, seed=seed,
+            )
+        ids = np.frombuffer(text.encode()[:200], dtype=np.uint8).astype(np.int32)
+        ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
+        return engine.infer(spk, [ids], emo_audio=emo_audio,
+                            emo_alpha=emo_alpha, emo_vector=emo_vector, seed=seed)
+
+    def synth_stream(text="", spk_audio=None, **kw):
+        spk = spk_audio or default_prompt
+        if engine.tokenizer is not None:
+            pieces = engine.tokenizer.tokenize(text)
+            segs = engine.tokenizer.split_segments(
+                pieces, engine.cfg.runtime.max_text_tokens_per_segment
+            )
+            seg_ids = [np.asarray(engine.tokenizer.convert_tokens_to_ids(s), np.int32)
+                       for s in segs]
+        else:
+            ids = np.frombuffer(text.encode()[:200], dtype=np.uint8).astype(np.int32)
+            seg_ids = [ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2]
+        yield from engine.infer_generator(spk, seg_ids, **{
+            k: v for k, v in kw.items()
+            if k in ("emo_audio", "emo_alpha", "emo_vector", "seed")
+        })
+
+    if settings.warmup and default_prompt:
+        print_stage("Warmup synthesis", "progress")
+        t0 = time.perf_counter()
+        try:
+            synth(text="warmup")
+            print_stage("Warmup done", "complete", time.perf_counter() - t0)
+        except Exception as e:
+            print_stage("Warmup failed", "failed", message_extra=str(e))
+
+    server = TTSServer(synth, settings, stream_fn=synth_stream)
+    GracefulShutdown().install()
+    print_stage(f"Serving on {args.host}:{args.port}", "complete")
+    server.run()
+
+
+if __name__ == "__main__":
+    main()
