@@ -123,7 +123,13 @@ class TTSServer:
             if req is None:
                 return
             method, path, headers, body = req
-            if method == "GET" and path == "/healthz":
+            if method == "GET" and path in ("/", "/ui"):
+                from indextts_tpu.runtime.webui import UI_HTML
+
+                writer.write(
+                    _http_response(200, UI_HTML.encode(), "text/html; charset=utf-8")
+                )
+            elif method == "GET" and path == "/healthz":
                 writer.write(_http_response(200, b'{"status":"ok"}'))
             elif method == "GET" and path == "/readyz":
                 code = 200 if self.ready else 503
