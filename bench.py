@@ -53,7 +53,7 @@ def main():
     params = random_params(cfg, seed=seed)
     log(f"params initialized in {time.perf_counter() - t0:.1f}s")
 
-    engine = IndexTTS2Engine(cfg, params, gpt_dtype=jnp.bfloat16)
+    engine = IndexTTS2Engine(cfg, params, gpt_dtype=jnp.bfloat16, voc_dtype=jnp.bfloat16)
     # deterministic-length decoding for benchmarking
     engine.decoder = GPTDecoder(
         engine.gpt,

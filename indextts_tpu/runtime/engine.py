@@ -81,6 +81,8 @@ class IndexTTS2Engine:
         tokenizer=None,
         precise_shapes: bool = False,
         gpt_dtype=jnp.float32,
+        voc_dtype=jnp.float32,
+        cond_dtype=jnp.float32,
     ):
         """
         params: {"gpt":…, "s2mel":…, "bigvgan":…, "repcodec":…, "campplus":…,
@@ -96,7 +98,7 @@ class IndexTTS2Engine:
 
         self.gpt = UnifiedVoice(cfg.gpt, dtype=gpt_dtype)
         self.s2mel = S2Mel(cfg.s2mel)
-        self.bigvgan = BigVGAN(cfg.vocoder)
+        self.bigvgan = BigVGAN(cfg.vocoder, dtype=voc_dtype)
         self.repcodec = RepCodec(cfg.semantic_codec)
         self.campplus = CAMPPlus(cfg.campplus)
         self.w2vbert = W2VBertEncoder(cfg.w2vbert)
@@ -104,12 +106,27 @@ class IndexTTS2Engine:
         # device-put once; NEVER close over params in jitted fns (closed-over
         # arrays become inline MLIR constants -> minutes-long compiles)
         put = jax.device_put
-        self.p_gpt = put(params["gpt"])
+
+        def put_as(tree, dtype):
+            """Store float params directly in the compute dtype: a fp32 store
+            with bf16 compute would re-cast ~1GB of weights EVERY decode step
+            (3x HBM traffic on the hot loop)."""
+            tree = put(tree)
+            if dtype == jnp.float32:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
+        self.p_gpt = put_as(params["gpt"], gpt_dtype)
         self.p_s2mel = put(params["s2mel"])
-        self.p_bigvgan = put(params["bigvgan"])
+        self.p_bigvgan = put_as(params["bigvgan"], voc_dtype)
         self.p_repcodec = put(params["repcodec"])
         self.p_campplus = put(params["campplus"])
-        self.p_w2vbert = put(params["w2vbert"])
+        self.p_w2vbert = put_as(params["w2vbert"], cond_dtype)
 
         if semantic_stats is None:
             mean = np.zeros(cfg.w2vbert.hidden_size, np.float32)
@@ -663,7 +680,35 @@ def random_params(cfg: IndexTTS2Config, seed: int = 0, fast: bool = True) -> Dic
     (no device traffic — flax init on a tunneled TPU is minutes-slow).
     seed=None: constant fill (instant; for pure throughput benchmarking)."""
     if fast:
-        shapes = jax.eval_shape(lambda: random_params(cfg, 0, fast=False))
+        # eval_shape traces every model init (~2 min for the full config);
+        # cache the resolved shapes on disk keyed by the config
+        import hashlib
+        import pickle
+
+        key = hashlib.sha256(repr(cfg).encode()).hexdigest()[:16]
+        cache_file = f"/tmp/indextts_tpu_shapes_{key}.pkl"
+        shapes = None
+        try:
+            with open(cache_file, "rb") as f:
+                raw = pickle.load(f)
+            shapes = jax.tree_util.tree_map(
+                lambda sd: jax.ShapeDtypeStruct(sd[0], np.dtype(sd[1])),
+                raw,
+                is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2
+                and isinstance(x[1], str),
+            )
+        except (OSError, pickle.PickleError, EOFError):
+            pass
+        if shapes is None:
+            shapes = jax.eval_shape(lambda: random_params(cfg, 0, fast=False))
+            try:
+                raw = jax.tree_util.tree_map(
+                    lambda s: (tuple(s.shape), np.dtype(s.dtype).name), shapes
+                )
+                with open(cache_file, "wb") as f:
+                    pickle.dump(raw, f)
+            except OSError:
+                pass
         rng = np.random.default_rng(seed) if seed is not None else None
 
         def fill(leaf):
