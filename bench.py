@@ -53,7 +53,7 @@ def main():
     params = random_params(cfg, seed=seed)
     log(f"params initialized in {time.perf_counter() - t0:.1f}s")
 
-    engine = IndexTTS2Engine(cfg, params, gpt_dtype=jnp.bfloat16, voc_dtype=jnp.bfloat16)
+    engine = IndexTTS2Engine(cfg, params, gpt_dtype=jnp.bfloat16)
     # deterministic-length decoding for benchmarking
     engine.decoder = GPTDecoder(
         engine.gpt,
@@ -101,6 +101,37 @@ def main():
     log(f"stages: {stage_totals}")
     log(f"steady-state: {audio_per_s:.2f} audio-sec/s (RTF {rtf:.3f})")
 
+    # batched AR decode throughput (continuous-batching proxy): B sequences
+    # decoded concurrently in one jitted loop
+    batched_tok_s = None
+    if os.environ.get("BENCH_BATCHED", "1") != "0":
+        B = int(os.environ.get("BENCH_BATCH", "8"))
+        spk = engine.prepare_speaker(prompt, sr, cache_key="bench")
+        emo_cond = spk.spk_cond_emb
+        emovec = engine._emovec_program(
+            engine.p_gpt, spk.spk_cond_emb, emo_cond,
+            jnp.asarray([spk.cond_len]), jnp.asarray([spk.cond_len]),
+            jnp.asarray(1.0, jnp.float32),
+        )
+        conds = engine._build_conds_program(engine.p_gpt, spk.spk_latents, emovec)
+        conds_b = jnp.repeat(conds, B, axis=0)
+        ids, pos, valid = engine.decoder.build_text_prompt_arrays(
+            np.tile(text[None], (B, 1)), np.full(B, n_text), bucket=n_text
+        )
+        kb = jax.random.PRNGKey(7)
+        for rep in range(2):  # first = compile, second = timed
+            t0 = time.perf_counter()
+            res = engine.decoder.generate(
+                {"params": engine.p_gpt},
+                conds_b, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+                kb, max_new=n_codes,
+            )
+            np.asarray(res.codes)
+            bt = time.perf_counter() - t0
+        batched_tok_s = B * n_codes / bt
+        log(f"batched decode B={B}: {bt:.2f}s -> {batched_tok_s:.0f} tok/s "
+            f"({batched_tok_s * 0.02:.1f} audio-sec/s decode-only)")
+
     baseline_audio_per_s = 9.25 / 169.4  # BASELINE.md row 1
     print(
         json.dumps(
@@ -114,6 +145,9 @@ def main():
                 if stage_totals["gpt_gen"] > 0
                 else None,
                 "compile_s": round(compile_time, 1),
+                "batched_decode_tok_s": round(batched_tok_s, 1)
+                if batched_tok_s
+                else None,
             }
         )
     )
