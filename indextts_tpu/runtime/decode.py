@@ -261,6 +261,194 @@ class GPTDecoder:
         lengths = jnp.where(has_stop, first_stop + 1, max_new).astype(jnp.int32)
         return codes, lengths
 
+    # -- beam search --------------------------------------------------------
+
+    def _generate_beam(
+        self,
+        params,
+        conds_latent,  # (1, 34, D)
+        text_ids,
+        text_pos,
+        text_valid,
+        repetition_penalty: jnp.ndarray,
+        max_new: int,
+        num_beams: int,
+        length_penalty: jnp.ndarray,
+    ):
+        """Deterministic beam search (HF beam_search semantics with early
+        beams finalized on stop token; used for the reference's
+        num_beams>1, do_sample=False configuration)."""
+        cfg = self.cfg
+        model = self.model
+        s = self.sampling
+        nb = num_beams
+        V = cfg.number_mel_codes
+
+        text_emb = model.apply(
+            params, text_ids, text_pos, text_valid,
+            method=UnifiedVoice.embed_text_prompt,
+        )
+        start_emb = model.apply(params, 1, method=UnifiedVoice.embed_mel_start)
+        prompt = jnp.concatenate(
+            [conds_latent.astype(text_emb.dtype), text_emb,
+             start_emb.astype(text_emb.dtype)], axis=1,
+        )
+        prompt_mask = jnp.concatenate(
+            [jnp.ones((1, conds_latent.shape[1]), bool), text_valid,
+             jnp.ones((1, 1), bool)], axis=1,
+        )
+        S = prompt.shape[1]
+        cap = S + max_new
+
+        hidden, (pk, pv) = model.apply(
+            params, prompt, prompt_mask, method=UnifiedVoice.gpt_prefill
+        )
+        L, _, H, _, Dh = pk.shape
+        # expand to beams
+        ks = jnp.zeros((L, nb, H, cap, Dh), pk.dtype)
+        vs = jnp.zeros((L, nb, H, cap, Dh), pv.dtype)
+        ks = jax.lax.dynamic_update_slice(ks, jnp.repeat(pk, nb, axis=1), (0, 0, 0, 0, 0))
+        vs = jax.lax.dynamic_update_slice(vs, jnp.repeat(pv, nb, axis=1), (0, 0, 0, 0, 0))
+        cap_mask = jnp.concatenate(
+            [jnp.repeat(prompt_mask, nb, axis=0), jnp.ones((nb, max_new), bool)],
+            axis=1,
+        )
+        logits0 = model.apply(
+            params, hidden[:, -1], method=UnifiedVoice.mel_logits_from_hidden
+        )
+        logits0 = jnp.repeat(logits0, nb, axis=0)
+
+        beam_scores0 = jnp.concatenate(
+            [jnp.zeros((1,)), jnp.full((nb - 1,), NEG_INF)]
+        )
+        codes0 = jnp.full((nb, max_new), cfg.stop_mel_token, jnp.int32)
+        penal0 = jnp.zeros((nb, V), bool)
+        if s.use_repetition_penalty and s.hf_fake_prompt_penalty:
+            penal0 = penal0.at[:, 1].set(True).at[:, cfg.start_mel_token].set(True)
+        # finalized-hypothesis pool (HF BeamHypotheses, max nb entries)
+        fin_scores0 = jnp.full((nb,), NEG_INF)  # normalized scores
+        fin_codes0 = jnp.full((nb, max_new), cfg.stop_mel_token, jnp.int32)
+        fin_lens0 = jnp.zeros((nb,), jnp.int32)
+
+        def body_fn(state):
+            (step, codes, logits, ks, vs, beam_scores, penal,
+             fin_scores, fin_codes, fin_lens) = state
+            # HF beam_search order: log_softmax FIRST, then processors
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            if s.use_repetition_penalty:
+                logp = _repetition_penalty(logp, penal, repetition_penalty)
+            total = beam_scores[:, None] + logp  # (nb, V)
+            flat = total.reshape(-1)
+            cand_scores, cand_idx = jax.lax.top_k(flat, 2 * nb)
+            cand_beam = cand_idx // V
+            cand_tok = (cand_idx % V).astype(jnp.int32)
+            is_eos = cand_tok == cfg.stop_mel_token
+
+            # finalize eos candidates ranked < nb (HF _process)
+            rank = jnp.arange(2 * nb)
+            finalize = jnp.logical_and(is_eos, rank < nb)
+            # normalized score: sum / ((prompt + generated) ** lp)
+            norm_len = jnp.asarray(S + step, jnp.float32)
+            new_fin_scores = jnp.where(
+                finalize, cand_scores / jnp.power(norm_len, length_penalty), NEG_INF
+            )
+            # candidate hypothesis codes: beam prefix + eos at `step`
+            cand_codes = codes[cand_beam]
+            cand_codes = jax.lax.dynamic_update_slice(
+                cand_codes, cand_tok[:, None], (0, step)
+            )
+            all_fin_scores = jnp.concatenate([fin_scores, new_fin_scores])
+            all_fin_codes = jnp.concatenate([fin_codes, cand_codes])
+            all_fin_lens = jnp.concatenate(
+                [fin_lens, jnp.full((2 * nb,), step + 1, jnp.int32)]
+            )
+            keep_scores, keep_idx = jax.lax.top_k(all_fin_scores, nb)
+            fin_scores = keep_scores
+            fin_codes = all_fin_codes[keep_idx]
+            fin_lens = all_fin_lens[keep_idx]
+
+            # next active beams: first nb non-eos candidates
+            active_scores = jnp.where(is_eos, NEG_INF, cand_scores)
+            next_scores, next_pos = jax.lax.top_k(active_scores, nb)
+            beam_idx = cand_beam[next_pos]
+            tok = cand_tok[next_pos]
+            beam_scores = next_scores
+
+            codes = codes[beam_idx]
+            penal = penal[beam_idx]
+            ks = ks[:, beam_idx]
+            vs = vs[:, beam_idx]
+            codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
+            penal = penal.at[jnp.arange(nb), tok].set(True)
+
+            emb = model.apply(params, tok, step, method=UnifiedVoice.embed_mel_step)
+            hidden, (ks, vs) = model.apply(
+                params, emb, (ks, vs), S + step,
+                jnp.full((nb,), S + step + 1, jnp.int32), cap_mask,
+                method=UnifiedVoice.gpt_decode_step,
+            )
+            logits = model.apply(
+                params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
+            )
+            return (step + 1, codes, logits, ks, vs, beam_scores, penal,
+                    fin_scores, fin_codes, fin_lens)
+
+        def cond_fn(state):
+            (step, _, _, _, _, beam_scores, _, fin_scores, _, _) = state
+            # HF is_done (early_stopping=False): nb finalized AND the worst
+            # finalized beats the best possible active continuation
+            n_fin_full = fin_scores[nb - 1] > NEG_INF
+            cur_norm = jnp.max(beam_scores) / jnp.power(
+                jnp.asarray(S, jnp.float32) + step.astype(jnp.float32),
+                length_penalty,
+            )
+            done = jnp.logical_and(n_fin_full, fin_scores[nb - 1] >= cur_norm)
+            return jnp.logical_and(step < max_new, ~done)
+
+        state = (
+            jnp.asarray(0, jnp.int32), codes0, logits0, ks, vs,
+            beam_scores0, penal0, fin_scores0, fin_codes0, fin_lens0,
+        )
+        (step, codes, _, _, _, beam_scores, _, fin_scores, fin_codes,
+         fin_lens) = jax.lax.while_loop(cond_fn, body_fn, state)
+
+        # finalize: merge still-active beams (no eos; length = step)
+        act_norm = beam_scores / jnp.power(
+            jnp.asarray(S, jnp.float32) + step.astype(jnp.float32), length_penalty
+        )
+        all_scores = jnp.concatenate([fin_scores, act_norm])
+        all_codes = jnp.concatenate([fin_codes, codes])
+        all_lens = jnp.concatenate(
+            [fin_lens, jnp.full((nb,), step, jnp.int32)]
+        )
+        best = jnp.argmax(all_scores)
+        return all_codes[best][None], all_lens[best][None].astype(jnp.int32)
+
+    def generate_beam(
+        self,
+        params,
+        conds_latent,
+        text_ids,
+        text_pos,
+        text_valid,
+        max_new: int,
+        num_beams: int = 3,
+        repetition_penalty: float = 10.0,
+        length_penalty: float = 0.0,
+    ) -> GenerateResult:
+        if not hasattr(self, "_beam_jit"):
+            self._beam_jit = jax.jit(
+                self._generate_beam,
+                static_argnames=("max_new", "num_beams"),
+            )
+        codes, lengths = self._beam_jit(
+            params, conds_latent, text_ids, text_pos, text_valid,
+            jnp.asarray(repetition_penalty, jnp.float32),
+            max_new=max_new, num_beams=num_beams,
+            length_penalty=jnp.asarray(length_penalty, jnp.float32),
+        )
+        return GenerateResult(codes=codes, lengths=lengths)
+
     def generate(
         self,
         params,

@@ -235,3 +235,51 @@ def test_greedy_decode_parity(ref_and_ours, rng):
     # compare up to the reference's own length
     assert want.shape[0] <= max_new
     np.testing.assert_array_equal(got[: want.shape[0]], want)
+
+
+def test_beam_search_parity(ref_and_ours, rng):
+    """num_beams=3 greedy beam search vs the reference HF beam_search."""
+    ref, model, params, cfg = ref_and_ours
+    if not hasattr(ref, "inference_model"):
+        ref.post_init_gpt2_config(use_deepspeed=False, kv_cache=True, half=False)
+
+    B, Lt = 1, 6
+    spk = rng.standard_normal((B, 23, 1024)).astype(np.float32)
+    emo = rng.standard_normal((B, 21, 1024)).astype(np.float32)
+    text = rng.integers(2, 50, (B, Lt)).astype(np.int64)
+    max_new = 16
+
+    with torch.no_grad():
+        emovec_t = ref.get_emovec(torch.from_numpy(emo), torch.tensor([21]))
+        want_codes, _ = ref.inference_speech(
+            torch.from_numpy(spk),
+            torch.from_numpy(text),
+            cond_lengths=torch.tensor([23]),
+            emo_vec=emovec_t,
+            do_sample=False,
+            num_beams=3,
+            repetition_penalty=10.0,
+            length_penalty=0.0,
+            max_generate_length=max_new,
+        )
+    want = want_codes.numpy()[0]
+
+    spk_lat = model.apply(
+        params, jnp.asarray(spk), jnp.asarray([23]), method=UnifiedVoice.get_conditioning
+    )
+    emovec_j = model.apply(
+        params, jnp.asarray(emo), jnp.asarray([21]), method=UnifiedVoice.get_emovec
+    )
+    conds = model.apply(
+        params, spk_lat, emovec_j, method=UnifiedVoice.build_conds_latent
+    )
+    dec = GPTDecoder(
+        model, cfg, SamplingConfig(do_sample=False, use_repetition_penalty=True)
+    )
+    ids, pos, valid = dec.build_text_prompt_arrays(text, np.array([Lt]), bucket=Lt)
+    res = dec.generate_beam(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        max_new=max_new, num_beams=3, repetition_penalty=10.0, length_penalty=0.0,
+    )
+    got = np.asarray(res.codes)[0]
+    np.testing.assert_array_equal(got[: want.shape[0]], want)
