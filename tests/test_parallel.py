@@ -1,0 +1,107 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: TP-sharded inference
+matches unsharded results; the sharded training step runs (SURVEY §4
+'fake-mesh' plan)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+from indextts_tpu.models.unified_voice import UnifiedVoice
+from indextts_tpu.parallel.sharding import (
+    GPT_PARTITION_RULES,
+    make_mesh,
+    shard_params,
+)
+
+TINY = GPTConfig(
+    model_dim=64,
+    layers=2,
+    heads=4,
+    max_mel_tokens=64,
+    max_text_tokens=32,
+    number_text_tokens=64,
+    number_mel_codes=40,
+    start_mel_token=38,
+    stop_mel_token=39,
+    condition_module=ConditionModuleConfig(
+        output_size=32, linear_units=64, attention_heads=4, num_blocks=1
+    ),
+    emo_condition_module=ConditionModuleConfig(
+        output_size=32, linear_units=32, attention_heads=2, num_blocks=1
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = UnifiedVoice(TINY)
+    B, Lt, Lm = 2, 8, 12
+    args = (
+        jnp.zeros((B, TINY.condition_num_latent, TINY.model_dim)),
+        jnp.zeros((B, Lt), jnp.int32),
+        jnp.full((B,), Lt),
+        jnp.zeros((B, Lm), jnp.int32),
+        jnp.full((B,), Lm),
+        jnp.zeros((B, TINY.model_dim)),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), *args, method=UnifiedVoice.forward_latent
+    )
+    return model, params
+
+
+def test_device_count():
+    assert jax.device_count() >= 8, "conftest must force an 8-device CPU mesh"
+
+
+def test_tp_inference_matches_unsharded(model_and_params, rng):
+    model, params = model_and_params
+    B, Lt, Lm = 2, 8, 12
+    spk = jnp.asarray(rng.standard_normal((B, 32, TINY.model_dim)), jnp.float32)
+    text = jnp.asarray(rng.integers(2, 60, (B, Lt)), jnp.int32)
+    codes = jnp.asarray(rng.integers(0, 38, (B, Lm)), jnp.int32)
+    emovec = jnp.asarray(rng.standard_normal((B, TINY.model_dim)), jnp.float32)
+    args = (spk, text, jnp.full((B,), Lt), codes, jnp.full((B,), Lm), emovec)
+
+    want = np.asarray(
+        model.apply(params, *args, method=UnifiedVoice.forward_latent)
+    )
+
+    mesh = make_mesh(2, 4)
+    sharded = {"params": shard_params(params["params"], mesh, GPT_PARTITION_RULES)}
+
+    @jax.jit
+    def fwd(p, *a):
+        return model.apply(p, *a, method=UnifiedVoice.forward_latent)
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    args_sh = tuple(jax.device_put(a, batch_sh) for a in args)
+    with mesh:
+        got = np.asarray(fwd(sharded, *args_sh))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+def test_partition_rules_shard_the_big_matrices(model_and_params):
+    model, params = model_and_params
+    mesh = make_mesh(1, 4)
+    sharded = shard_params(params["params"], mesh, GPT_PARTITION_RULES)
+    catn = sharded["gpt"]["h_0"]["attn"]["c_attn"]["kernel"]
+    # column sharding over 'model' axis
+    spec = catn.sharding.spec
+    assert spec == P(None, "model")
+    cproj = sharded["gpt"]["h_0"]["attn"]["c_proj"]["kernel"]
+    assert cproj.sharding.spec == P("model", None)
+
+
+def test_dryrun_multichip_entry():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
