@@ -85,10 +85,17 @@ class GPT2Attention(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
 
         if kv_cache is not None:
-            ck, cv = kv_cache
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
-            k, v = ck, cv
+            # kv_cache = full stacked caches (L, B, H, Tmax, Dh); write this
+            # step's k/v at (layer_idx, :, :, cache_index) IN PLACE — never
+            # rebuild the stack (that would copy the whole cache every step)
+            ck, cv, layer_idx = kv_cache
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype)[None], (layer_idx, 0, 0, cache_index, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype)[None], (layer_idx, 0, 0, cache_index, 0)
+            )
+            k, v = ck[layer_idx], cv[layer_idx]
             new_kv = (ck, cv)
         else:
             new_kv = (k, v)
@@ -180,14 +187,11 @@ class GPT2Core(nn.Module):
             if attention_mask is not None:
                 valid = jnp.logical_and(valid, attention_mask.astype(bool))
             bias = jnp.where(valid[:, None, None, :], 0.0, NEG_INF)
-            new_ks, new_vs = [], []
             for i in range(self.n_layer):
-                x, (k, v) = GPT2Block(self.n_head, self.dtype, name=f"h_{i}")(
-                    x, bias, kv_cache=(ks[i], vs[i]), cache_index=cache_index
+                x, (ks, vs) = GPT2Block(self.n_head, self.dtype, name=f"h_{i}")(
+                    x, bias, kv_cache=(ks, vs, i), cache_index=cache_index
                 )
-                new_ks.append(k)
-                new_vs.append(v)
-            new_kv = (jnp.stack(new_ks), jnp.stack(new_vs))
+            new_kv = (ks, vs)
 
         x = nn.LayerNorm(epsilon=1e-5, name="ln_f", dtype=self.dtype)(x)
         return x, new_kv
