@@ -514,12 +514,32 @@ class IndexTTS2Engine:
         spk_audio: Union[str, Tuple[np.ndarray, int]],
         text: str,
         max_text_tokens_per_segment: Optional[int] = None,
+        use_emo_text: bool = False,
+        emo_text: Optional[str] = None,
+        emo_alpha: float = 1.0,
+        emo_vector: Optional[Sequence[float]] = None,
         **kwargs,
     ):
         """Text-level API: normalize + tokenize + split segments, then infer.
-        Requires a tokenizer (engine ctor arg)."""
+        Requires a tokenizer (engine ctor arg).
+
+        use_emo_text: derive the 8-dim emotion vector from `emo_text` (or the
+        main text) with the Qwen emotion model (infer_v2.py:591-598); needs
+        `self.qwen_emo` to be attached (see runtime/qwen_emo.py)."""
         if self.tokenizer is None:
             raise ValueError("engine has no tokenizer; pass pre-tokenized segments to infer()")
+        if use_emo_text:
+            qe = getattr(self, "qwen_emo", None)
+            if qe is None:
+                raise ValueError("use_emo_text requires engine.qwen_emo")
+            emo_dict = qe.inference(emo_text if emo_text is not None else text)
+            emo_vector = list(emo_dict.values())
+        if emo_vector is not None:
+            # pre-scale by alpha (infer_v2.py:600-608)
+            scale = max(0.0, min(1.0, emo_alpha))
+            if scale != 1.0:
+                emo_vector = [int(x * scale * 10000) / 10000 for x in emo_vector]
+            emo_alpha = 1.0
         max_seg = max_text_tokens_per_segment or self.cfg.runtime.max_text_tokens_per_segment
         pieces = self.tokenizer.tokenize(text)
         segments = self.tokenizer.split_segments(pieces, max_seg)
@@ -527,7 +547,9 @@ class IndexTTS2Engine:
             np.asarray(self.tokenizer.convert_tokens_to_ids(s), np.int32)
             for s in segments
         ]
-        return self.infer(spk_audio, seg_ids, **kwargs)
+        return self.infer(
+            spk_audio, seg_ids, emo_alpha=emo_alpha, emo_vector=emo_vector, **kwargs
+        )
 
     @staticmethod
     def remove_long_silence(

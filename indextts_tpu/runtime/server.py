@@ -136,6 +136,12 @@ class TTSServer:
                 writer.write(
                     _http_response(code, json.dumps({"ready": self.ready}).encode())
                 )
+            elif method == "GET" and path == "/metrics":
+                writer.write(
+                    _http_response(
+                        200, self._metrics_text().encode(), "text/plain; version=0.0.4"
+                    )
+                )
             elif method == "POST" and path == "/tts":
                 await self._tts(writer, body, stream=False)
             elif method == "POST" and path == "/tts/stream":
@@ -190,6 +196,10 @@ class TTSServer:
                 wav = audio_utils.wav_bytes(result["audio"], result["sampling_rate"])
                 self.cache.put(key, wav)
                 dur = time.perf_counter() - t0
+                self.audio_seconds = getattr(self, "audio_seconds", 0.0) + float(
+                    result.get("duration_sec", 0.0)
+                )
+                self.gen_seconds = getattr(self, "gen_seconds", 0.0) + dur
                 writer.write(
                     _http_response(
                         200, wav, "audio/wav",
@@ -230,6 +240,30 @@ class TTSServer:
                     await writer.drain()
                 writer.write(b"0\r\n\r\n")
                 await fut
+
+    def _metrics_text(self) -> str:
+        """Prometheus text exposition (beyond the reference, SURVEY §5 notes
+        it ships no Prometheus/OTel)."""
+        lines = [
+            "# TYPE indextts_requests_total counter",
+            f"indextts_requests_total {self.request_count}",
+            "# TYPE indextts_audio_seconds_total counter",
+            f"indextts_audio_seconds_total {getattr(self, 'audio_seconds', 0.0):.3f}",
+            "# TYPE indextts_generation_seconds_total counter",
+            f"indextts_generation_seconds_total {getattr(self, 'gen_seconds', 0.0):.3f}",
+        ]
+        try:
+            from indextts_tpu.utils.obs import get_hbm_usage
+
+            u = get_hbm_usage()
+            if u:
+                lines += [
+                    "# TYPE indextts_hbm_in_use_gb gauge",
+                    f"indextts_hbm_in_use_gb {u.get('gb_in_use', 0):.3f}",
+                ]
+        except Exception:
+            pass
+        return "\n".join(lines) + "\n"
 
     async def serve(self):
         server = await asyncio.start_server(
