@@ -593,6 +593,124 @@ def convert_qwen3(sd: SD, cfg) -> dict:
     return p
 
 
+# ---------------------------------------------------------------------------
+# v1 family: UnifiedVoice v1, ECAPA-TDNN, BigVGAN v1, DVAE
+# ---------------------------------------------------------------------------
+
+
+def convert_unified_voice_v1(sd: SD, cfg: GPTConfig) -> dict:
+    """gpt/model.py UnifiedVoice (v1) state dict -> flax params."""
+    return {
+        "conditioning_encoder": convert_conformer(
+            sd, "conditioning_encoder", cfg.condition_module.num_blocks
+        ),
+        "perceiver_encoder": convert_perceiver(sd, "perceiver_encoder"),
+        "text_embedding": embedding(sd, "text_embedding"),
+        "mel_embedding": embedding(sd, "mel_embedding"),
+        "mel_pos_embedding": {"embedding": sd["mel_pos_embedding.emb.weight"]},
+        "text_pos_embedding": {"embedding": sd["text_pos_embedding.emb.weight"]},
+        "final_norm": layernorm(sd, "final_norm"),
+        "mel_head": linear(sd, "mel_head"),
+        "text_head": linear(sd, "text_head"),
+        "gpt": convert_gpt2_core(sd, "gpt", cfg.layers),
+    }
+
+
+def _sb_conv(sd: SD, p: str) -> dict:
+    """speechbrain Conv1d wrapper: inner nn.Conv1d at .conv."""
+    return conv1d(sd, f"{p}.conv")
+
+
+def _sb_conv_dense(sd: SD, p: str) -> dict:
+    return conv1d_as_dense(sd, f"{p}.conv")
+
+
+def _sb_bn(sd: SD, p: str) -> dict:
+    return batchnorm(sd, f"{p}.norm")
+
+
+def _tdnn_block(sd: SD, p: str) -> dict:
+    return {"conv": _sb_conv(sd, f"{p}.conv"), "norm": _sb_bn(sd, f"{p}.norm")}
+
+
+def convert_ecapa(sd: SD, prefix: str = "", n_se_blocks: int = 3, scale: int = 8) -> dict:
+    """prefix: e.g. 'speaker_encoder.' (include the trailing dot) or ''."""
+    p = {"block_0": _tdnn_block(sd, f"{prefix}blocks.0")}
+    for i in range(1, n_se_blocks + 1):
+        b = f"{prefix}blocks.{i}"
+        blk = {
+            "tdnn1": _tdnn_block(sd, f"{b}.tdnn1"),
+            "tdnn2": _tdnn_block(sd, f"{b}.tdnn2"),
+            "se_block": {
+                "conv1": _sb_conv_dense(sd, f"{b}.se_block.conv1"),
+                "conv2": _sb_conv_dense(sd, f"{b}.se_block.conv2"),
+            },
+        }
+        r2 = {}
+        for j in range(scale - 1):
+            r2[f"block_{j}"] = _tdnn_block(sd, f"{b}.res2net_block.blocks.{j}")
+        blk["res2net_block"] = r2
+        if f"{b}.shortcut.conv.weight" in sd:
+            blk["shortcut"] = _sb_conv_dense(sd, f"{b}.shortcut")
+        p[f"block_{i}"] = blk
+    p["mfa"] = _tdnn_block(sd, f"{prefix}mfa")
+    p["asp"] = {
+        "tdnn": _tdnn_block(sd, f"{prefix}asp.tdnn"),
+        "conv": _sb_conv_dense(sd, f"{prefix}asp.conv"),
+    }
+    p["asp_bn"] = _sb_bn(sd, f"{prefix}asp_bn")
+    p["fc"] = _sb_conv_dense(sd, f"{prefix}fc")
+    return p
+
+
+def convert_bigvgan_v1(sd: SD, cfg) -> dict:
+    """cfg: BigVGANv1Config; sd: indextts/BigVGAN/models.py state dict."""
+    p = {
+        "conv_pre": _bv_conv1d(sd, "conv_pre"),
+        "conv_post": _bv_conv1d(sd, "conv_post"),
+        "alpha_post": sd["activation_post.act.alpha"],
+        "beta_post": sd["activation_post.act.beta"],
+        "speaker_encoder": convert_ecapa(sd, "speaker_encoder."),
+        "cond_layer": conv1d_as_dense(sd, "cond_layer"),
+    }
+    nk = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        p[f"up_{i}"] = _bv_convtranspose1d(sd, f"ups.{i}.0")
+        if cfg.cond_d_vector_in_each_upsampling_layer:
+            p[f"cond_{i}"] = conv1d_as_dense(sd, f"conds.{i}")
+        for j in range(nk):
+            r = f"resblocks.{i * nk + j}"
+            blk = {}
+            n = len(cfg.resblock_dilation_sizes[j])
+            for m in range(n):
+                blk[f"conv1_{m}"] = _bv_conv1d(sd, f"{r}.convs1.{m}")
+                blk[f"conv2_{m}"] = _bv_conv1d(sd, f"{r}.convs2.{m}")
+                blk[f"alpha1_{m}"] = sd[f"{r}.activations.{2 * m}.act.alpha"]
+                blk[f"beta1_{m}"] = sd[f"{r}.activations.{2 * m}.act.beta"]
+                blk[f"alpha2_{m}"] = sd[f"{r}.activations.{2 * m + 1}.act.alpha"]
+                blk[f"beta2_{m}"] = sd[f"{r}.activations.{2 * m + 1}.act.beta"]
+            p[f"resblock_{i}_{j}"] = blk
+    return p
+
+
+def convert_dvae(sd: SD, cfg) -> dict:
+    """cfg: DVAEConfig; encoder-side only (tokenizer use)."""
+    p = {"codebook": sd["codebook.embed"]}
+    idx = 0
+    for i in range(cfg.num_layers):
+        p[f"enc_conv_{i}"] = conv1d(sd, f"encoder.{idx}.0")
+        idx += 1
+    for r in range(cfg.num_resnet_blocks):
+        p[f"enc_res_{r}"] = {
+            "conv_0": conv1d(sd, f"encoder.{idx}.net.0"),
+            "conv_1": conv1d(sd, f"encoder.{idx}.net.2"),
+            "conv_2": conv1d(sd, f"encoder.{idx}.net.4"),
+        }
+        idx += 1
+    p["enc_out"] = conv1d(sd, f"encoder.{idx}")
+    return p
+
+
 def strip_ddp_prefix(sd: SD) -> SD:
     return {
         (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items()
