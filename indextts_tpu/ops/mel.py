@@ -188,6 +188,29 @@ def mel_spectrogram(y: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     return jnp.swapaxes(mel, 1, 2)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mel_spectrogram_v1(y: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """v1 conditioning mel: torchaudio.MelSpectrogram semantics as used by
+    MelSpectrogramFeatures (utils/feature_extractors.py:24-50): center=True
+    (reflect pad n_fft//2), power=1 magnitude, HTK mel scale with no norm,
+    safe_log clip 1e-7 (utils/common.py:110).
+
+    y: (B, T) -> (B, n_mels, frames), frames = T//hop + 1."""
+    pad = cfg.n_fft // 2
+    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    real, imag = stft_real_imag(y, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    mag = jnp.sqrt(real * real + imag * imag)
+    fb = jnp.asarray(
+        mel_filterbank(
+            cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax,
+            htk=True, norm=None,
+        )
+    )
+    mel = jnp.matmul(mag, fb.T, precision=jax.lax.Precision.HIGHEST)
+    mel = jnp.log(jnp.clip(mel, min=1e-7))
+    return jnp.swapaxes(mel, 1, 2)
+
+
 def mel_frame_count(num_samples: int, cfg: MelConfig) -> int:
     """Number of mel frames `mel_spectrogram` produces for a T-sample input."""
     padded = num_samples + 2 * ((cfg.n_fft - cfg.hop_length) // 2)
