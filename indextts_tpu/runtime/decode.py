@@ -43,6 +43,10 @@ class SamplingConfig:
     # benchmarking: never emit the stop token, so generation length is exactly
     # max_new (deterministic work regardless of weights)
     ban_stop_token: bool = False
+    # typical sampling (inference_speech typical_sampling flag,
+    # model_v2.py:858-866); applied after the repetition penalty
+    use_typical_sampling: bool = False
+    typical_mass: float = 0.9
 
 
 @dataclass
@@ -82,6 +86,32 @@ def _repetition_penalty(
     """HF RepetitionPenaltyLogitsProcessor: score<0 ? score*p : score/p."""
     penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
     return jnp.where(penal_mask, penalized, logits)
+
+
+def typical_filter(
+    scores: jnp.ndarray, mass: float, min_tokens_to_keep: int = 1
+) -> jnp.ndarray:
+    """Typical sampling warper (utils/typical_sampling.py:4-30 / HF
+    TypicalLogitsWarper): keep tokens whose -log p is closest to the
+    distribution entropy until `mass` cumulative probability is reached."""
+    normalized = jax.nn.log_softmax(scores, axis=-1)
+    p = jnp.exp(normalized)
+    ent = -jnp.sum(jnp.where(p > 0, normalized * p, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-normalized - ent)
+    order = jnp.argsort(shifted, axis=-1)  # ascending
+    sorted_shifted = jnp.take_along_axis(shifted, order, axis=-1)
+    sorted_logits = jnp.take_along_axis(scores, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    last_ind = jnp.sum(cum < mass, axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_shifted, last_ind, axis=-1)
+    remove_sorted = sorted_shifted > cutoff
+    if min_tokens_to_keep > 1:
+        remove_sorted = remove_sorted.at[..., :min_tokens_to_keep].set(False)
+    # scatter back to vocab order
+    remove = jnp.take_along_axis(
+        remove_sorted, jnp.argsort(order, axis=-1), axis=-1
+    )
+    return jnp.where(remove, NEG_INF, scores)
 
 
 class GPTDecoder:
@@ -213,6 +243,8 @@ class GPTDecoder:
             lg = logits
             if s.use_repetition_penalty:
                 lg = _repetition_penalty(lg, penal_mask, repetition_penalty)
+            if s.use_typical_sampling:
+                lg = typical_filter(lg, s.typical_mass)
             if s.ban_stop_token:
                 lg = lg.at[:, cfg.stop_mel_token].set(NEG_INF)
             if s.do_sample:

@@ -283,3 +283,17 @@ def test_beam_search_parity(ref_and_ours, rng):
     )
     got = np.asarray(res.codes)[0]
     np.testing.assert_array_equal(got[: want.shape[0]], want)
+
+
+def test_typical_filter_matches_reference(rng):
+    """typical_filter vs the reference TypicalLogitsWarper (same mask)."""
+    from indextts_tpu.runtime.decode import typical_filter
+    tw_mod = import_reference("indextts.utils.typical_sampling")
+    warper = tw_mod.TypicalLogitsWarper(mass=0.9)
+    scores = rng.standard_normal((3, 40)).astype(np.float32) * 2.0
+    with torch.no_grad():
+        want = warper(None, torch.from_numpy(scores.copy())).numpy()
+    got = np.asarray(typical_filter(jnp.asarray(scores), 0.9))
+    np.testing.assert_array_equal(np.isneginf(want), got <= -1e8)
+    kept = ~np.isneginf(want)
+    np.testing.assert_allclose(got[kept], want[kept], atol=1e-6)
