@@ -34,6 +34,8 @@ from indextts_tpu.models.perceiver import PerceiverResampler
 class UnifiedVoice(nn.Module):
     cfg: GPTConfig
     dtype: Any = jnp.float32
+    # W8A8 int8 GPT blocks (params via runtime.torch_convert.quantize_gpt_tree)
+    quantize_gpt: bool = False
 
     def setup(self):
         c = self.cfg
@@ -79,7 +81,7 @@ class UnifiedVoice(nn.Module):
         self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
         self.mel_head = nn.Dense(c.number_mel_codes, name="mel_head")
         self.text_head = nn.Dense(c.number_text_tokens + 1, name="text_head")
-        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, name="gpt")
+        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, name="gpt")
 
     # ------------------------------------------------------------------
     # Conditioning

@@ -711,6 +711,31 @@ def convert_dvae(sd: SD, cfg) -> dict:
     return p
 
 
+def quantize_gpt_tree(p_gpt: dict) -> dict:
+    """Quantize a converted UnifiedVoice param tree's GPT-2 block matmuls to
+    W8A8 (models/gpt2.py Conv1D quantize=True layout). Embeddings, norms and
+    heads stay float."""
+    from indextts_tpu.models.gpt2 import quantize_conv1d_params
+
+    out = dict(p_gpt)
+    gpt = dict(out["gpt"])
+    for name, layer in gpt.items():
+        if not name.startswith("h_"):
+            continue
+        layer = dict(layer)
+        attn = dict(layer["attn"])
+        attn["c_attn"] = quantize_conv1d_params(attn["c_attn"])
+        attn["c_proj"] = quantize_conv1d_params(attn["c_proj"])
+        layer["attn"] = attn
+        mlp = dict(layer["mlp"])
+        mlp["c_fc"] = quantize_conv1d_params(mlp["c_fc"])
+        mlp["c_proj"] = quantize_conv1d_params(mlp["c_proj"])
+        layer["mlp"] = mlp
+        gpt[name] = layer
+    out["gpt"] = gpt
+    return out
+
+
 def strip_ddp_prefix(sd: SD) -> SD:
     return {
         (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items()

@@ -1,0 +1,74 @@
+"""W8A8 int8 GPT quantization: output fidelity + decode functionality
+(the reference's INT8 capability, vram_utils.py:13-52, TPU-native)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+from indextts_tpu.models.unified_voice import UnifiedVoice
+from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+from indextts_tpu.runtime.torch_convert import quantize_gpt_tree
+
+TINY = GPTConfig(
+    model_dim=64, layers=2, heads=4, max_mel_tokens=64, max_text_tokens=32,
+    number_text_tokens=50, number_mel_codes=36, start_mel_token=34,
+    stop_mel_token=35,
+    condition_module=ConditionModuleConfig(
+        output_size=32, linear_units=48, attention_heads=4, num_blocks=1
+    ),
+    emo_condition_module=ConditionModuleConfig(
+        output_size=32, linear_units=32, attention_heads=2, num_blocks=1
+    ),
+)
+
+
+def _init_params(model):
+    B, Lt, Lm = 1, 6, 8
+    p = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, 32, 64)), jnp.zeros((B, Lt), jnp.int32), jnp.asarray([Lt]),
+        jnp.zeros((B, Lm), jnp.int32), jnp.asarray([Lm]), jnp.zeros((B, 64)),
+        method=UnifiedVoice.forward_latent,
+    )["params"]
+    ph = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64)),
+        method=UnifiedVoice.mel_logits_from_hidden,
+    )["params"]
+    for k, v in ph.items():
+        p.setdefault(k, v)
+    return p
+
+
+def test_int8_latents_close(rng):
+    fp = UnifiedVoice(TINY)
+    params = _init_params(fp)
+    qmodel = UnifiedVoice(TINY, quantize_gpt=True)
+    qparams = quantize_gpt_tree(params)
+
+    args = (
+        jnp.asarray(rng.standard_normal((1, 32, 64)), jnp.float32),
+        jnp.asarray(rng.integers(2, 50, (1, 6)), jnp.int32), jnp.asarray([6]),
+        jnp.asarray(rng.integers(0, 34, (1, 8)), jnp.int32), jnp.asarray([8]),
+        jnp.asarray(rng.standard_normal((1, 64)), jnp.float32),
+    )
+    want = np.asarray(fp.apply({"params": params}, *args, method=UnifiedVoice.forward_latent))
+    got = np.asarray(qmodel.apply({"params": qparams}, *args, method=UnifiedVoice.forward_latent))
+    cos = np.sum(want * got) / (np.linalg.norm(want) * np.linalg.norm(got) + 1e-9)
+    assert cos > 0.995, cos
+
+
+def test_int8_decode_runs(rng):
+    qmodel = UnifiedVoice(TINY, quantize_gpt=True)
+    params = quantize_gpt_tree(_init_params(UnifiedVoice(TINY)))
+    dec = GPTDecoder(qmodel, TINY, SamplingConfig())
+    text = rng.integers(2, 50, (1, 5))
+    ids, pos, valid = dec.build_text_prompt_arrays(text, np.array([5]), 5)
+    conds = jnp.zeros((1, 34, 64))
+    res = dec.generate(
+        {"params": params}, conds, jnp.asarray(ids), jnp.asarray(pos),
+        jnp.asarray(valid), jax.random.PRNGKey(0), max_new=10,
+    )
+    codes = np.asarray(res.codes)
+    assert codes.shape == (1, 10)
+    assert ((codes >= 0) & (codes < 36)).all()
