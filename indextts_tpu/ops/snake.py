@@ -111,7 +111,19 @@ def snake_beta(
 def anti_alias_snake(
     x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool = True
 ) -> jnp.ndarray:
-    """Activation1d (act.py): up2 -> snakebeta -> down2. x: (B, T, C)."""
+    """Activation1d (act.py): up2 -> snakebeta -> down2. x: (B, T, C).
+
+    Set INDEXTTS_PALLAS_SNAKE=1 to route through the fused Pallas TPU kernel
+    (ops/snake_pallas.py; bit-exact vs this implementation on TPU)."""
+    import os
+
+    if os.environ.get("INDEXTTS_PALLAS_SNAKE") == "1":
+        import jax as _jax
+
+        if _jax.default_backend() not in ("cpu",):
+            from indextts_tpu.ops.snake_pallas import anti_alias_snake_pallas
+
+            return anti_alias_snake_pallas(x, alpha, beta, logscale)
     y = upsample2(x)
     y = snake_beta(y, alpha, beta, logscale)
     return downsample2(y)
