@@ -85,3 +85,55 @@ def strip_thinking(output_ids: List[int]) -> List[int]:
     except ValueError:
         idx = 0
     return output_ids[idx:]
+
+
+def build_qwen_emotion(model_dir: str, max_new_tokens: int = 256) -> QwenEmotion:
+    """Build a QwenEmotion over the fine-tuned Qwen3-0.6B checkpoint dir
+    (reference `qwen0.6bemo4-merge/`): HF tokenizer (chat template with
+    enable_thinking=False) + our flax Qwen3 LM + jitted greedy decode."""
+    from pathlib import Path
+
+    from transformers import AutoTokenizer
+
+    from indextts_tpu.config import QwenEmoConfig
+    from indextts_tpu.models.qwen3 import Qwen3LM, greedy_generate
+    from indextts_tpu.runtime.torch_convert import convert_qwen3
+
+    tokenizer = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
+    cfg = QwenEmoConfig(max_new_tokens=max_new_tokens)
+    model = Qwen3LM(cfg)
+
+    d = Path(model_dir)
+    sfts = sorted(d.glob("*.safetensors"))
+    if sfts:
+        from safetensors.numpy import load_file
+
+        sd = {}
+        for f in sfts:
+            sd.update(load_file(str(f)))
+    else:
+        import torch
+
+        sd_t = torch.load(d / "pytorch_model.bin", map_location="cpu")
+        sd = {k: v.float().numpy() for k, v in sd_t.items()}
+    import jax
+
+    params = jax.device_put({"params": convert_qwen3(sd, cfg)})
+    eos = tokenizer.eos_token_id
+
+    def generate_fn(system_prompt: str, user_text: str) -> str:
+        text = tokenizer.apply_chat_template(
+            [
+                {"role": "system", "content": system_prompt},
+                {"role": "user", "content": user_text},
+            ],
+            tokenize=False,
+            add_generation_prompt=True,
+            enable_thinking=False,
+        )
+        ids = tokenizer([text], return_tensors="np")["input_ids"][0]
+        out = greedy_generate(model, params, ids, max_new_tokens, eos)
+        out = strip_thinking(list(out))
+        return tokenizer.decode(out, skip_special_tokens=True)
+
+    return QwenEmotion(generate_fn)
