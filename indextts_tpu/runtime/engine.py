@@ -244,10 +244,16 @@ class IndexTTS2Engine:
         cond = self.s2mel.apply(
             sp, s_infer, target_lengths, target_len, method=S2Mel.regulate
         )
-        cat_cond = jnp.concatenate([prompt_condition, cond], axis=1)
-        x_lens = jnp.asarray([total_len], jnp.int32)
-        prompt_x = jnp.zeros((1, self.cfg.s2mel.dit.in_channels, total_len))
-        prompt_x = jax.lax.dynamic_update_slice(prompt_x, ref_mel, (0, 0, 0))
+        B = cond.shape[0]
+        cat_cond = jnp.concatenate(
+            [jnp.broadcast_to(prompt_condition, (B,) + prompt_condition.shape[1:]), cond],
+            axis=1,
+        )
+        # per-sequence valid frames (batched segments share the prompt)
+        x_lens = ref_mel_len + target_lengths
+        prompt_x = jnp.zeros((B, self.cfg.s2mel.dit.in_channels, total_len))
+        ref_b = jnp.broadcast_to(ref_mel, (B,) + ref_mel.shape[1:])
+        prompt_x = jax.lax.dynamic_update_slice(prompt_x, ref_b, (0, 0, 0))
         vc = cfm_inference(
             self.s2mel,
             sp,
@@ -255,7 +261,7 @@ class IndexTTS2Engine:
             x_lens,
             prompt_x,
             ref_mel_len,
-            style,
+            jnp.broadcast_to(style, (B,) + style.shape[1:]),
             noise,
             n_steps=self.cfg.runtime.diffusion_steps,
             cfg_rate=self.cfg.runtime.cfg_rate,
@@ -509,6 +515,123 @@ class IndexTTS2Engine:
             bigvgan_time=t_voc,
         )
 
+    def synthesize_segments_batched(
+        self,
+        spk: SpeakerConditioning,
+        emo: EmotionConditioning,
+        segments: List[np.ndarray],
+        emo_alpha: float = 1.0,
+        emo_vector: Optional[Sequence[float]] = None,
+        use_random: bool = False,
+        max_mel_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+        seed: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Decode ALL segments of a request concurrently (batched AR loop +
+        batched latent/s2mel/vocoder) — the continuous-batching analog of the
+        accel engine's multi-sequence decode (accel_engine.py:444-500).
+        Returns per-segment waveforms in input order."""
+        rt = self.cfg.runtime
+        max_new = max_mel_tokens or rt.max_mel_tokens
+        B = len(segments)
+        if B == 1:
+            r = self.synthesize_segment(
+                spk, emo, segments[0], emo_alpha=emo_alpha,
+                emo_vector=emo_vector, use_random=use_random,
+                max_mel_tokens=max_mel_tokens, temperature=temperature,
+                top_p=top_p, seed=seed,
+            )
+            return [r.wav]
+
+        emovec = self._emovec_program(
+            self.p_gpt, spk.spk_cond_emb, emo.emo_cond_emb,
+            jnp.asarray([spk.cond_len]), jnp.asarray([emo.cond_len]),
+            jnp.asarray(emo_alpha, jnp.float32),
+        )
+        if emo_vector is not None:
+            mat_vec = self._emovec_from_matrix(emo_vector, spk.style, use_random)
+            emovec = jnp.asarray(mat_vec) + (1.0 - float(np.sum(emo_vector))) * emovec
+        conds = self._build_conds_program(self.p_gpt, spk.spk_latents, emovec)
+        conds_b = jnp.repeat(conds, B, axis=0)
+
+        lens = np.asarray([len(s) for s in segments])
+        bucket = int(lens.max()) if self.precise else min(
+            next_bucket(int(lens.max()), 16, 16), self.cfg.gpt.max_text_tokens
+        )
+        text = np.zeros((B, bucket), np.int32)
+        for b, seg in enumerate(segments):
+            text[b, : len(seg)] = seg
+        ids, pos, valid = self.decoder.build_text_prompt_arrays(text, lens, bucket)
+        if seed is not None:
+            key = jax.random.PRNGKey(seed)
+        else:
+            self._rng, key = jax.random.split(self._rng)
+        res = self.decoder.generate(
+            {"params": self.p_gpt}, conds_b,
+            jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid), key,
+            max_new=max_new,
+            temperature=temperature if temperature is not None else rt.temperature,
+            top_p=top_p if top_p is not None else rt.top_p,
+            repetition_penalty=rt.repetition_penalty,
+        )
+        codes_np = np.asarray(res.codes)
+        lengths = np.asarray(res.lengths)
+        code_lens = np.maximum(
+            np.where(
+                codes_np[np.arange(B), np.maximum(lengths - 1, 0)]
+                == self.cfg.gpt.stop_mel_token,
+                lengths - 1,
+                lengths,
+            ),
+            1,
+        )
+        Lm = int(code_lens.max())
+        code_bucket = Lm if self.precise else next_bucket(Lm, 64, 64)
+        codes_arr = np.full((B, code_bucket), self.cfg.gpt.stop_mel_token, np.int32)
+        for b in range(B):
+            codes_arr[b, : code_lens[b]] = codes_np[b, : code_lens[b]]
+
+        latent = self._latent_program(
+            self.p_gpt,
+            jnp.repeat(spk.spk_latents, B, axis=0),
+            jnp.asarray(text), jnp.asarray(lens),
+            jnp.asarray(codes_arr), jnp.asarray(code_lens),
+            jnp.repeat(emovec, B, axis=0) if emovec.shape[0] == 1 else emovec,
+        )
+
+        target_exact = (code_lens * 1.72).astype(np.int64)
+        target_len = int(target_exact.max()) if self.precise else next_bucket(
+            int(target_exact.max()), 128, 128
+        )
+        total_len = spk.ref_mel_len + target_len
+        if seed is not None:
+            nkey = jax.random.PRNGKey(seed + 1)
+        else:
+            self._rng, nkey = jax.random.split(self._rng)
+        noise = jax.random.normal(
+            nkey, (B, self.cfg.s2mel.dit.in_channels, total_len), jnp.float32
+        )
+        vc = self._s2mel_program(
+            self.p_s2mel, self.p_repcodec,
+            latent, jnp.asarray(codes_arr), jnp.asarray(code_lens),
+            spk.prompt_condition, spk.ref_mel, jnp.asarray(spk.ref_mel_len),
+            spk.style, noise, target_len=target_len, total_len=total_len,
+        )
+        mel_out = vc[:, :, spk.ref_mel_len : spk.ref_mel_len + target_len]
+        # silence-fill the padded frames so conv leakage stays inaudible
+        frame_idx = np.arange(target_len)
+        mel_np_mask = jnp.asarray(
+            (frame_idx[None, :] < target_exact[:, None])[:, None, :]
+        )
+        mel_out = jnp.where(mel_np_mask, mel_out, float(np.log(1e-5)))
+        wavs = np.asarray(self._vocoder_program(self.p_bigvgan, mel_out))
+        up = self.cfg.vocoder.total_upsample
+        return [
+            wavs[b, : int(target_exact[b]) * up].astype(np.float32)
+            for b in range(B)
+        ]
+
     def infer_text(
         self,
         spk_audio: Union[str, Tuple[np.ndarray, int]],
@@ -629,9 +752,11 @@ class IndexTTS2Engine:
         interval_silence: int = 200,
         output_path: Optional[str] = None,
         seed: Optional[int] = None,
+        batched: bool = False,
         **gen_kwargs,
     ):
         """Batch (non-streaming) synthesis over pre-tokenized segments.
+        batched=True decodes all segments concurrently in one AR loop.
         Returns (sample_rate, waveform float32) and optionally writes a WAV."""
         start = time.perf_counter()
         if isinstance(spk_audio, str):
@@ -653,19 +778,26 @@ class IndexTTS2Engine:
 
         wavs = []
         stats = []
-        for i, seg in enumerate(text_ids_segments):
-            r = self.synthesize_segment(
-                spk,
-                emo,
-                np.asarray(seg),
-                emo_alpha=emo_alpha,
-                emo_vector=emo_vector,
-                use_random=use_random,
-                seed=None if seed is None else seed + i,
-                **gen_kwargs,
+        if batched and len(text_ids_segments) > 1:
+            wavs = self.synthesize_segments_batched(
+                spk, emo, [np.asarray(s) for s in text_ids_segments],
+                emo_alpha=emo_alpha, emo_vector=emo_vector,
+                use_random=use_random, seed=seed, **gen_kwargs,
             )
-            wavs.append(r.wav)
-            stats.append(r)
+        else:
+            for i, seg in enumerate(text_ids_segments):
+                r = self.synthesize_segment(
+                    spk,
+                    emo,
+                    np.asarray(seg),
+                    emo_alpha=emo_alpha,
+                    emo_vector=emo_vector,
+                    use_random=use_random,
+                    seed=None if seed is None else seed + i,
+                    **gen_kwargs,
+                )
+                wavs.append(r.wav)
+                stats.append(r)
 
         sr_out = self.cfg.runtime.sampling_rate
         sil = np.zeros(int(sr_out * interval_silence / 1000.0), np.float32)

@@ -49,6 +49,11 @@ def cfm_inference(
     stacked_prompt = jnp.concatenate([prompt_x, zeros_prompt], axis=0)
     stacked_style = jnp.concatenate([style, zeros_style], axis=0)
     stacked_mu = jnp.concatenate([mu, zeros_mu], axis=0)
+    # per-seq lengths must cover the CFG-stacked 2B batch (the reference
+    # relies on B=1 broadcasting, flow_matching.py:96-98)
+    stacked_lens = (
+        jnp.concatenate([x_lens, x_lens]) if x_lens.shape[0] == B else x_lens
+    )
 
     def body(step, x):
         t = step.astype(jnp.float32) * dt  # t BEFORE the update (t_span[step-1])
@@ -58,7 +63,7 @@ def cfm_inference(
             params,
             stacked_x,
             stacked_prompt,
-            x_lens,
+            stacked_lens,
             stacked_t,
             stacked_style,
             stacked_mu,

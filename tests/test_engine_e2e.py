@@ -105,3 +105,14 @@ def test_e2e_emotion_vector(engine, rng):
     vec = engine.normalize_emo_vec([0, 0, 1.0, 0, 0, 0, 0, 0])
     out = engine.infer((prompt, sr), [rng.integers(2, 50, 4)], emo_vector=vec, seed=2)
     assert np.isfinite(out["audio"]).all()
+
+
+def test_e2e_batched_segments(engine, rng):
+    """batched=True runs all segments through one AR loop and produces
+    per-segment audio of the expected lengths."""
+    sr = 16000
+    prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    segs = [rng.integers(2, 50, 5), rng.integers(2, 50, 8), rng.integers(2, 50, 3)]
+    out = engine.infer((prompt, sr), segs, seed=3, batched=True)
+    assert out["duration_sec"] > 0
+    assert np.isfinite(out["audio"]).all()
