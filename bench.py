@@ -132,6 +132,24 @@ def main():
         log(f"batched decode B={B}: {bt:.2f}s -> {batched_tok_s:.0f} tok/s "
             f"({batched_tok_s * 0.02:.1f} audio-sec/s decode-only)")
 
+    # batched END-TO-END: one request of B segments through one AR loop +
+    # batched latent/s2mel/vocoder (engine batched mode)
+    batched_e2e_audio_s = None
+    if os.environ.get("BENCH_BATCHED_E2E", "1") != "0":
+        Bseg = int(os.environ.get("BENCH_BATCH", "8"))
+        segs = [text for _ in range(Bseg)]
+        for rep in range(2):  # compile then time
+            t0 = time.perf_counter()
+            out = engine.infer(
+                (prompt, sr), segs, seed=11, max_mel_tokens=n_codes, batched=True
+            )
+            bt = time.perf_counter() - t0
+        batched_e2e_audio_s = out["duration_sec"] / bt
+        log(
+            f"batched e2e B={Bseg}: wall={bt:.2f}s audio={out['duration_sec']:.2f}s"
+            f" -> {batched_e2e_audio_s:.2f} audio-sec/s (rtf {bt / out['duration_sec']:.3f})"
+        )
+
     baseline_audio_per_s = 9.25 / 169.4  # BASELINE.md row 1
     print(
         json.dumps(
@@ -147,6 +165,9 @@ def main():
                 "compile_s": round(compile_time, 1),
                 "batched_decode_tok_s": round(batched_tok_s, 1)
                 if batched_tok_s
+                else None,
+                "batched_e2e_audio_s": round(batched_e2e_audio_s, 2)
+                if batched_e2e_audio_s
                 else None,
             }
         )
