@@ -105,3 +105,43 @@ def test_dryrun_multichip_entry():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_dit_tp_inference_matches_unsharded(rng):
+    """DiT tensor-parallel sharding (SURVEY §2.7 long-context plan): sharded
+    velocity field equals unsharded."""
+    from indextts_tpu.config import DiTConfig, LengthRegulatorConfig, S2MelConfig, WaveNetConfig
+    from indextts_tpu.models.s2mel import S2Mel
+    from indextts_tpu.parallel.sharding import DIT_PARTITION_RULES
+
+    cfg = S2MelConfig(
+        length_regulator=LengthRegulatorConfig(channels=16, in_channels=24),
+        dit=DiTConfig(hidden_dim=64, num_heads=4, depth=3, in_channels=8,
+                      content_dim=24, style_dim=12),
+        wavenet=WaveNetConfig(hidden_dim=64, num_layers=2, kernel_size=5),
+        gpt_dims=(20, 10, 6, 24),
+    )
+    model = S2Mel(cfg)
+    B, T = 2, 40
+    x = jnp.asarray(rng.standard_normal((B, 8, T)), jnp.float32)
+    px = jnp.zeros((B, 8, T))
+    xl = jnp.full((B,), T)
+    t = jnp.asarray([0.3, 0.7])
+    st = jnp.asarray(rng.standard_normal((B, 12)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((B, T, 24)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, px, xl, t, st, c, method=S2Mel.velocity)
+
+    want = np.asarray(model.apply(params, x, px, xl, t, st, c, method=S2Mel.velocity))
+
+    mesh = make_mesh(2, 4)
+    sharded = {"params": shard_params(params["params"], mesh, DIT_PARTITION_RULES)}
+
+    @jax.jit
+    def fwd(p, *a):
+        return model.apply(p, *a, method=S2Mel.velocity)
+
+    bsh = NamedSharding(mesh, P("data"))
+    args = tuple(jax.device_put(a, bsh) for a in (x, px, xl, t, st, c))
+    with mesh:
+        got = np.asarray(fwd(sharded, *args))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
