@@ -1,0 +1,217 @@
+"""Ragged decode attention as a Pallas TPU kernel.
+
+The AR decode step attends one query token per sequence against the KV cache.
+The XLA path reads the FULL static cache (B, H, cap, Dh) every step and masks;
+this kernel walks only ceil(valid_len / BLK) blocks per (batch, head) with an
+online-softmax accumulator, skipping the DMA for blocks past the valid prefix
+— at B=16, cap≈1600 the cache read is the dominant per-step cost, and typical
+valid lengths are half the cap.
+
+This is the TPU analog of the reference accel engine's paged
+flash_attn_with_kvcache decode (accel/attention.py:129-153), with the paged
+block table replaced by dense-prefix raggedness (our cache is contiguous;
+block tables are unnecessary without cross-request sharing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(valid_ref, q_ref, k_hbm, v_hbm, o_ref, k_vmem, v_vmem, sem_k, sem_v,
+             *, blk: int, cap: int, scale: float, n_heads: int):
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+    n_blocks = (valid + blk - 1) // blk
+    Dh = q_ref.shape[-1]
+
+    def head_body(h, _):
+        q = q_ref[pl.ds(h, 1), :].astype(jnp.float32)  # (1, Dh)
+
+        def body(i, carry):
+            m_prev, l_prev, acc_prev = carry
+            start = i * blk
+            cp_k = pltpu.make_async_copy(
+                k_hbm.at[b, h, pl.ds(start, blk), :], k_vmem, sem_k
+            )
+            cp_v = pltpu.make_async_copy(
+                v_hbm.at[b, h, pl.ds(start, blk), :], v_vmem, sem_v
+            )
+            cp_k.start()
+            cp_v.start()
+            cp_k.wait()
+            cp_v.wait()
+            # strictly 2-D shapes: Mosaic's vector layouts mishandle 1-D
+            k = k_vmem[:].astype(jnp.float32)  # (blk, Dh)
+            v = v_vmem[:].astype(jnp.float32)
+            s = jnp.sum(k * q, axis=1, keepdims=True) * scale  # (blk, 1)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0) + start
+            s = jnp.where(pos < valid, s, NEG_INF)
+            m_new = jnp.maximum(m_prev, jnp.max(s))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)  # (blk, 1)
+            l_new = l_prev * alpha + jnp.sum(p)
+            acc_new = acc_prev * alpha + jnp.sum(p * v, axis=0, keepdims=True)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.float32(NEG_INF)
+        l0 = jnp.float32(0.0)
+        acc0 = jnp.zeros((1, Dh), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        o_ref[pl.ds(h, 1), :] = acc / jnp.maximum(l, 1e-30)
+        return 0
+
+    jax.lax.fori_loop(0, n_heads, head_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "interpret"))
+def ragged_decode_attention(
+    q: jnp.ndarray,  # (B, H, Dh) float
+    k_cache: jnp.ndarray,  # (B, H, cap, Dh)
+    v_cache: jnp.ndarray,  # (B, H, cap, Dh)
+    valid_len: jnp.ndarray,  # (B,) int32 — keys < valid_len attend
+    blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-token attention over the valid cache prefix. Returns (B, H, Dh)."""
+    B, H, cap, Dh = k_cache.shape
+    assert cap % blk == 0, (cap, blk)
+    scale = 1.0 / (Dh ** 0.5)
+
+    kern = functools.partial(_kernel, blk=blk, cap=cap, scale=scale, n_heads=H)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),  # q
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k cache stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v cache stays in HBM
+        ],
+        out_specs=pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((blk, Dh), jnp.float32)
+            if k_cache.dtype == jnp.float32
+            else pltpu.VMEM((blk, Dh), k_cache.dtype),
+            pltpu.VMEM((blk, Dh), jnp.float32)
+            if v_cache.dtype == jnp.float32
+            else pltpu.VMEM((blk, Dh), v_cache.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dh), jnp.float32),
+        interpret=interpret,
+    )(valid_len.astype(jnp.int32), q, k_cache, v_cache)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# transposed-layout variant: caches as (B, H, Dh, cap) so the DMA'd token
+# slice lands on the 128-lane axis (Mosaic requires last-dim slices aligned
+# to 128; Dh=64 token-major slices are rejected)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_t(valid_ref, q_ref, k_hbm, v_hbm, o_ref, k_vmem, v_vmem, sem_k,
+              sem_v, *, blk: int, scale: float, n_heads: int):
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+    n_blocks = (valid + blk - 1) // blk
+    Dh = q_ref.shape[-1]
+
+    def head_body(h, _):
+        q = q_ref[pl.ds(h, 1), :].astype(jnp.float32)  # (1, Dh)
+        qT = q.reshape(Dh, 1)
+
+        def body(i, carry):
+            m_prev, l_prev, acc_prev = carry
+            start = i * blk
+            cp_k = pltpu.make_async_copy(
+                k_hbm.at[b, h, :, pl.ds(start, blk)], k_vmem, sem_k
+            )
+            cp_v = pltpu.make_async_copy(
+                v_hbm.at[b, h, :, pl.ds(start, blk)], v_vmem, sem_v
+            )
+            cp_k.start()
+            cp_v.start()
+            cp_k.wait()
+            cp_v.wait()
+            k = k_vmem[:].astype(jnp.float32)  # (Dh, blk)
+            v = v_vmem[:].astype(jnp.float32)
+            s = jnp.sum(k * qT, axis=0, keepdims=True) * scale  # (1, blk)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + start
+            s = jnp.where(pos < valid, s, NEG_INF)
+            m_new = jnp.maximum(m_prev, jnp.max(s))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)  # (1, blk)
+            l_new = l_prev * alpha + jnp.sum(p)
+            acc_new = acc_prev * alpha + jnp.sum(p * v, axis=1, keepdims=True)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.float32(NEG_INF)
+        l0 = jnp.float32(0.0)
+        acc0 = jnp.zeros((Dh, 1), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        o_ref[pl.ds(h, 1), :] = (acc / jnp.maximum(l, 1e-30)).reshape(1, Dh)
+        return 0
+
+    jax.lax.fori_loop(0, n_heads, head_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "interpret"))
+def ragged_decode_attention_t(
+    q: jnp.ndarray,  # (B, H, Dh)
+    k_cache_t: jnp.ndarray,  # (B, H, Dh, cap)
+    v_cache_t: jnp.ndarray,  # (B, H, Dh, cap)
+    valid_len: jnp.ndarray,  # (B,)
+    blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transposed-cache ragged decode attention. Returns (B, H, Dh)."""
+    B, H, Dh, cap = k_cache_t.shape
+    assert cap % blk == 0, (cap, blk)
+    scale = 1.0 / (Dh ** 0.5)
+    kern = functools.partial(_kernel_t, blk=blk, scale=scale, n_heads=H)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Dh, blk), k_cache_t.dtype),
+            pltpu.VMEM((Dh, blk), v_cache_t.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dh), jnp.float32),
+        interpret=interpret,
+    )(valid_len.astype(jnp.int32), q, k_cache_t, v_cache_t)
+
+
+def ragged_decode_attention_xla(q, k_cache, v_cache, valid_len):
+    """Reference XLA implementation (same semantics) for testing/fallback."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32),
+                   k_cache.astype(jnp.float32)) * scale
+    pos = jnp.arange(k_cache.shape[2])
+    s = jnp.where(pos[None, None, :] < valid_len[:, None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhs,bhsd->bhd", p, v_cache.astype(jnp.float32))
