@@ -97,6 +97,7 @@ class GPT2Attention(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantize: bool = False
+    attn_impl: str = "xla"  # "xla" | "pallas_ragged" (decode path only)
 
     @nn.compact
     def __call__(
@@ -124,6 +125,30 @@ class GPT2Attention(nn.Module):
             return t.reshape(B, -1, H, Dh).transpose(0, 2, 1, 3)  # (B,H,T,Dh)
 
         q, k, v = heads(q), heads(k), heads(v)
+
+        if kv_cache is not None and self.attn_impl == "pallas_ragged":
+            # transposed caches (L, B, H, Dh, cap); attention via the ragged
+            # Pallas kernel over the valid prefix only (ops/decode_attention)
+            from indextts_tpu.ops.decode_attention import ragged_decode_attention_t
+
+            ck, cv, layer_idx, valid_len, hole_s, hole_e, interp = kv_cache
+            kT = k.transpose(0, 1, 3, 2)  # (B, H, Dh, T=1)
+            vT = v.transpose(0, 1, 3, 2)
+            ck = jax.lax.dynamic_update_slice(
+                ck, kT.astype(ck.dtype)[None], (layer_idx, 0, 0, 0, cache_index)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, vT.astype(cv.dtype)[None], (layer_idx, 0, 0, 0, cache_index)
+            )
+            ctx = ragged_decode_attention_t(
+                q[:, :, 0, :].astype(jnp.float32),
+                ck[layer_idx], cv[layer_idx],
+                valid_len, hole_start=hole_s, hole_end=hole_e,
+                interpret=interp,
+            )  # (B, H, Dh)
+            ctx = ctx.astype(x.dtype).reshape(B, 1, D)
+            out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+            return out, (ck, cv)
 
         if kv_cache is not None:
             # kv_cache = full stacked caches (L, B, H, Tmax, Dh); write this
@@ -167,12 +192,13 @@ class GPT2Block(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantize: bool = False
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, attn_bias, kv_cache=None, cache_index=None):
         h = nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=self.dtype)(x)
         attn_out, new_kv = GPT2Attention(
-            self.n_head, self.dtype, self.quantize, name="attn"
+            self.n_head, self.dtype, self.quantize, self.attn_impl, name="attn"
         )(h, attn_bias, kv_cache, cache_index)
         x = x + attn_out
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2", dtype=self.dtype)(x)
@@ -188,6 +214,9 @@ class GPT2Core(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantize: bool = False
+    attn_impl: str = "xla"
+    # interpret-mode for the pallas kernel (CPU tests)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(
@@ -224,6 +253,29 @@ class GPT2Core(nn.Module):
                 new_ks.append(k)
                 new_vs.append(v)
             new_kv = (jnp.stack(new_ks), jnp.stack(new_vs))
+        elif self.attn_impl == "pallas_ragged":
+            # decode via the ragged Pallas kernel: caches are (L,B,H,Dh,cap);
+            # the left-pad run inside the prompt becomes a contiguous masked
+            # hole derived from the attention mask
+            ks, vs = kv_caches
+            if attention_mask is not None:
+                inval = ~attention_mask.astype(bool)
+                hole_s = jnp.argmax(inval, axis=1).astype(jnp.int32)
+                hole_e = hole_s + jnp.sum(inval, axis=1).astype(jnp.int32)
+            else:
+                hole_s = jnp.zeros((B,), jnp.int32)
+                hole_e = jnp.zeros((B,), jnp.int32)
+            for i in range(self.n_layer):
+                x, (ks, vs) = GPT2Block(
+                    self.n_head, self.dtype, self.quantize, self.attn_impl,
+                    name=f"h_{i}",
+                )(
+                    x, None,
+                    kv_cache=(ks, vs, i, kv_valid_len, hole_s, hole_e,
+                              self.pallas_interpret),
+                    cache_index=cache_index,
+                )
+            new_kv = (ks, vs)
         else:
             # decode: attend to cache positions < kv_valid_len (+ current)
             ks, vs = kv_caches

@@ -36,6 +36,9 @@ class UnifiedVoice(nn.Module):
     dtype: Any = jnp.float32
     # W8A8 int8 GPT blocks (params via runtime.torch_convert.quantize_gpt_tree)
     quantize_gpt: bool = False
+    # decode attention implementation: "xla" | "pallas_ragged"
+    attn_impl: str = "xla"
+    pallas_interpret: bool = False
 
     def setup(self):
         c = self.cfg
@@ -81,7 +84,7 @@ class UnifiedVoice(nn.Module):
         self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
         self.mel_head = nn.Dense(c.number_mel_codes, name="mel_head")
         self.text_head = nn.Dense(c.number_text_tokens + 1, name="text_head")
-        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, name="gpt")
+        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, self.attn_impl, self.pallas_interpret, name="gpt")
 
     # ------------------------------------------------------------------
     # Conditioning

@@ -122,10 +122,12 @@ def ragged_decode_attention(
 # ---------------------------------------------------------------------------
 
 
-def _kernel_t(valid_ref, q_ref, k_hbm, v_hbm, o_ref, k_vmem, v_vmem, sem_k,
+def _kernel_t(scalars_ref, q_ref, k_hbm, v_hbm, o_ref, k_vmem, v_vmem, sem_k,
               sem_v, *, blk: int, scale: float, n_heads: int):
     b = pl.program_id(0)
-    valid = valid_ref[b]
+    valid = scalars_ref[b, 0]
+    hole_start = scalars_ref[b, 1]
+    hole_end = scalars_ref[b, 2]
     n_blocks = (valid + blk - 1) // blk
     Dh = q_ref.shape[-1]
 
@@ -150,7 +152,11 @@ def _kernel_t(valid_ref, q_ref, k_hbm, v_hbm, o_ref, k_vmem, v_vmem, sem_k,
             v = v_vmem[:].astype(jnp.float32)
             s = jnp.sum(k * qT, axis=0, keepdims=True) * scale  # (1, blk)
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + start
-            s = jnp.where(pos < valid, s, NEG_INF)
+            ok = jnp.logical_and(
+                pos < valid,
+                jnp.logical_or(pos < hole_start, pos >= hole_end),
+            )
+            s = jnp.where(ok, s, NEG_INF)
             m_new = jnp.maximum(m_prev, jnp.max(s))
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)  # (1, blk)
@@ -168,16 +174,39 @@ def _kernel_t(valid_ref, q_ref, k_hbm, v_hbm, o_ref, k_vmem, v_vmem, sem_k,
     jax.lax.fori_loop(0, n_heads, head_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("blk", "interpret"))
 def ragged_decode_attention_t(
+    q, k_cache_t, v_cache_t, valid_len, blk: int = 256, interpret: bool = False,
+    hole_start=None, hole_end=None,
+):
+    """Transposed-cache ragged decode attention with an optional contiguous
+    masked hole [hole_start, hole_end) per sequence (the left-pad run inside
+    the prompt). Returns (B, H, Dh)."""
+    B = q.shape[0]
+    cap = k_cache_t.shape[-1]
+    if cap % blk != 0:
+        # largest supported block dividing cap (cap must be a 128-multiple)
+        blk = next(c for c in (512, 256, 128) if cap % c == 0)
+    if hole_start is None:
+        hole_start = jnp.zeros((B,), jnp.int32)
+    if hole_end is None:
+        hole_end = jnp.zeros((B,), jnp.int32)
+    return _ragged_decode_attention_t(
+        q, k_cache_t, v_cache_t,
+        jnp.stack([valid_len.astype(jnp.int32), hole_start.astype(jnp.int32),
+                   hole_end.astype(jnp.int32)], axis=1),
+        blk=blk, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("blk", "interpret"))
+def _ragged_decode_attention_t(
     q: jnp.ndarray,  # (B, H, Dh)
     k_cache_t: jnp.ndarray,  # (B, H, Dh, cap)
     v_cache_t: jnp.ndarray,  # (B, H, Dh, cap)
-    valid_len: jnp.ndarray,  # (B,)
+    scalars: jnp.ndarray,  # (B, 3): valid_len, hole_start, hole_end
     blk: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Transposed-cache ragged decode attention. Returns (B, H, Dh)."""
     B, H, Dh, cap = k_cache_t.shape
     assert cap % blk == 0, (cap, blk)
     scale = 1.0 / (Dh ** 0.5)
@@ -203,7 +232,7 @@ def ragged_decode_attention_t(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Dh), jnp.float32),
         interpret=interpret,
-    )(valid_len.astype(jnp.int32), q, k_cache_t, v_cache_t)
+    )(scalars, q, k_cache_t, v_cache_t)
 
 
 def ragged_decode_attention_xla(q, k_cache, v_cache, valid_len):

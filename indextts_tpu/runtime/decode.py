@@ -208,15 +208,30 @@ class GPTDecoder:
 
         S = prompt.shape[1]
         cap = S + max_new
+        transposed = getattr(model, "attn_impl", "xla") == "pallas_ragged"
+        if transposed:
+            # the ragged kernel DMAs 128-multiple token blocks
+            cap = ((cap + 127) // 128) * 128
 
         hidden, (pk, pv) = model.apply(
             params, prompt, prompt_mask, method=UnifiedVoice.gpt_prefill
         )
         L, _, H, _, Dh = pk.shape
-        ks = jnp.zeros((L, B, H, cap, Dh), pk.dtype)
-        vs = jnp.zeros((L, B, H, cap, Dh), pv.dtype)
-        ks = jax.lax.dynamic_update_slice(ks, pk, (0, 0, 0, 0, 0))
-        vs = jax.lax.dynamic_update_slice(vs, pv, (0, 0, 0, 0, 0))
+        if transposed:
+            # ragged Pallas kernel layout: token axis on lanes (L,B,H,Dh,cap)
+            ks = jnp.zeros((L, B, H, Dh, cap), pk.dtype)
+            vs = jnp.zeros((L, B, H, Dh, cap), pv.dtype)
+            ks = jax.lax.dynamic_update_slice(
+                ks, pk.transpose(0, 1, 2, 4, 3), (0, 0, 0, 0, 0)
+            )
+            vs = jax.lax.dynamic_update_slice(
+                vs, pv.transpose(0, 1, 2, 4, 3), (0, 0, 0, 0, 0)
+            )
+        else:
+            ks = jnp.zeros((L, B, H, cap, Dh), pk.dtype)
+            vs = jnp.zeros((L, B, H, cap, Dh), pv.dtype)
+            ks = jax.lax.dynamic_update_slice(ks, pk, (0, 0, 0, 0, 0))
+            vs = jax.lax.dynamic_update_slice(vs, pv, (0, 0, 0, 0, 0))
         cap_mask = jnp.concatenate(
             [prompt_mask, jnp.ones((B, max_new), dtype=bool)], axis=1
         )

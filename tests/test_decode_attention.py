@@ -71,3 +71,63 @@ def test_ragged_decode_attention_transposed(rng, valid):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_decode_loop_pallas_ragged_matches_xla(rng):
+    """Full greedy decode with attn_impl=pallas_ragged (interpret) equals the
+    XLA decode path token-for-token."""
+    import jax
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.models.unified_voice import UnifiedVoice
+    from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+
+    cfg = GPTConfig(
+        model_dim=64, layers=2, heads=4, max_mel_tokens=64, max_text_tokens=32,
+        number_text_tokens=50, number_mel_codes=36, start_mel_token=34,
+        stop_mel_token=35,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=4, num_blocks=1
+        ),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=32, attention_heads=2, num_blocks=1
+        ),
+    )
+    base = UnifiedVoice(cfg)
+    params = base.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64)), jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
+        jnp.zeros((1, 6), jnp.int32), jnp.asarray([6]), jnp.zeros((1, 64)),
+        method=UnifiedVoice.forward_latent,
+    )["params"]
+    ph = base.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64)),
+        method=UnifiedVoice.mel_logits_from_hidden,
+    )["params"]
+    for k2, v2 in ph.items():
+        params.setdefault(k2, v2)
+    params = {"params": params}
+
+    B = 2
+    conds = jnp.asarray(rng.standard_normal((B, 34, 64)), jnp.float32)
+    text = rng.integers(2, 50, (B, 9))
+    lens = np.array([9, 5])
+    sc = SamplingConfig(do_sample=False, use_repetition_penalty=False)
+
+    dec_x = GPTDecoder(base, cfg, sc)
+    ids, pos, valid = dec_x.build_text_prompt_arrays(text, lens, 9)
+    want = np.asarray(
+        dec_x.generate(
+            params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+            jax.random.PRNGKey(0), max_new=12,
+        ).codes
+    )
+
+    pmodel = UnifiedVoice(cfg, attn_impl="pallas_ragged", pallas_interpret=True)
+    dec_p = GPTDecoder(pmodel, cfg, sc)
+    got = np.asarray(
+        dec_p.generate(
+            params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+            jax.random.PRNGKey(0), max_new=12,
+        ).codes
+    )
+    np.testing.assert_array_equal(got, want)
