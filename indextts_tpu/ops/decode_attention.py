@@ -135,21 +135,40 @@ def _kernel_t(scalars_ref, q_ref, k_hbm, v_hbm, o_ref, k_vmem, v_vmem, sem_k,
         q = q_ref[pl.ds(h, 1), :].astype(jnp.float32)  # (1, Dh)
         qT = q.reshape(Dh, 1)
 
+        # double-buffered DMA (pallas_guide double-buffering pattern):
+        # start block i+1 while computing block i
+        def dma(slot, i):
+            start = i * blk
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[b, h, :, pl.ds(start, blk)], k_vmem.at[slot], sem_k.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[b, h, :, pl.ds(start, blk)], v_vmem.at[slot], sem_v.at[slot]
+                ),
+            )
+
+        ck0, cv0 = dma(0, 0)
+        ck0.start()
+        cv0.start()
+
         def body(i, carry):
             m_prev, l_prev, acc_prev = carry
+            slot = jax.lax.rem(i, 2)
+            nxt = jax.lax.rem(i + 1, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                ckn, cvn = dma(nxt, i + 1)
+                ckn.start()
+                cvn.start()
+
+            cki, cvi = dma(slot, i)
+            cki.wait()
+            cvi.wait()
             start = i * blk
-            cp_k = pltpu.make_async_copy(
-                k_hbm.at[b, h, :, pl.ds(start, blk)], k_vmem, sem_k
-            )
-            cp_v = pltpu.make_async_copy(
-                v_hbm.at[b, h, :, pl.ds(start, blk)], v_vmem, sem_v
-            )
-            cp_k.start()
-            cp_v.start()
-            cp_k.wait()
-            cp_v.wait()
-            k = k_vmem[:].astype(jnp.float32)  # (Dh, blk)
-            v = v_vmem[:].astype(jnp.float32)
+            k = k_vmem[slot].astype(jnp.float32)  # (Dh, blk)
+            v = v_vmem[slot].astype(jnp.float32)
             s = jnp.sum(k * qT, axis=0, keepdims=True) * scale  # (1, blk)
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + start
             ok = jnp.logical_and(
@@ -221,10 +240,10 @@ def _ragged_decode_attention_t(
         ],
         out_specs=pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Dh, blk), k_cache_t.dtype),
-            pltpu.VMEM((Dh, blk), v_cache_t.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, Dh, blk), k_cache_t.dtype),
+            pltpu.VMEM((2, Dh, blk), v_cache_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
