@@ -311,6 +311,12 @@ class RuntimeConfig:
     length_penalty: float = 0.0
     num_beams: int = 3
     repetition_penalty: float = 10.0
+    # compress >30 silent tokens (id 52) down to runs of 10. NOTE: the
+    # reference *defines* this for v2 (infer_v2.py:410-465) but only ever
+    # calls it in the v1 engine (infer.py:450,639); v2's live path is a plain
+    # stop-trim. Default on (audible-quality win); set False for strict v2
+    # output parity.
+    remove_long_silence: bool = True
     # compute dtype for the GPT decode loop ("bfloat16" | "float32")
     gpt_dtype: str = "bfloat16"
     # static decode-loop bucket sizes (text prompt padded to one of these)

@@ -195,12 +195,22 @@ class WaveNet(nn.Module):
         C = c.hidden_dim
         g_all = nn.Dense(2 * C * c.num_layers, name="cond_layer")(g)  # (B,1,2C*n)
         output = jnp.zeros_like(x)
+        T = x.shape[1]
+        # reflect at each row's VALID boundary (x_mask prefix length), not the
+        # physical buffer edge: a bucketed row then matches the reference's
+        # exact-length reflect pad (encodec.py:196-228) sample for sample
+        xl = jnp.maximum(x_mask[..., 0].sum(axis=1, keepdims=True), 1).astype(jnp.int32)
         for i in range(c.num_layers):
             dilation = c.dilation_rate ** i
             eff_k = (c.kernel_size - 1) * dilation + 1
             pad_r = (eff_k - 1) // 2
             pad_l = eff_k - 1 - pad_r
-            xp = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)), mode="reflect")
+            pos = jnp.arange(-pad_l, T + pad_r)[None, :]  # (1, T+pads)
+            q = jnp.where(pos < 0, -pos, pos)
+            q = jnp.where(q >= xl, 2 * xl - 2 - q, q)
+            q = jnp.clip(q, 0, T - 1)
+            q = jnp.broadcast_to(q, (x.shape[0], q.shape[1]))
+            xp = jnp.take_along_axis(x, q[..., None], axis=1)
             x_in = nn.Conv(
                 2 * C,
                 kernel_size=(c.kernel_size,),
@@ -288,27 +298,64 @@ class DiT(nn.Module):
         return jnp.swapaxes(out, 1, 2)
 
 
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm(num_groups=1) whose statistics run over VALID frames only,
+    so a padded/bucketed buffer produces the same normalized values the
+    reference gets on an exact-length tensor (length_regulator.py:52,135)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, h, mask):
+        """h: (B, T, C); mask: (B, T, 1) float 0/1."""
+        C = h.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        hf = h.astype(jnp.float32) * mask
+        n = jnp.maximum(mask.sum(axis=(1, 2), keepdims=True) * C, 1.0)
+        mean = hf.sum(axis=(1, 2), keepdims=True) / n
+        var = (jnp.square(hf - mean) * mask).sum(axis=(1, 2), keepdims=True) / n
+        out = (hf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return out.astype(h.dtype)
+
+
 class InterpolateRegulator(nn.Module):
     """length_regulator.py:28-141 (continuous input path, interpolate=True)."""
 
     cfg: LengthRegulatorConfig
 
     @nn.compact
-    def __call__(self, x, ylens, out_len: int):
-        """x: (B, S, in_channels); ylens: (B,); out_len: static target frames.
-        Returns (B, out_len, channels) masked beyond ylens."""
+    def __call__(self, x, ylens, out_len: int, xlens=None):
+        """x: (B, S, in_channels); ylens: (B,) valid output frames; out_len:
+        static output buffer width; xlens: (B,) valid INPUT frames (defaults
+        to the full S). Returns (B, out_len, channels) masked beyond ylens.
+
+        The reference interpolates exact-length tensors (src = floor(j*S/ylen),
+        F.interpolate nearest, length_regulator.py:120). With bucketed buffers
+        the padded widths must NOT enter that ratio, so the nearest grid is
+        built per-sequence from (xlens, ylens); convs see zeros beyond ylens
+        (matching SAME zero-padding of an exact tensor) and GroupNorm stats
+        run over valid frames only — each row equals a standalone exact call."""
         c = self.cfg
         B, S, _ = x.shape
         x = nn.Dense(c.channels, name="content_in_proj")(x)
-        # F.interpolate(mode='nearest') to out_len: src = floor(j * S / out_len)
-        src = jnp.floor(jnp.arange(out_len) * (S / out_len)).astype(jnp.int32)
-        h = x[:, src]  # (B, out_len, C)
+        if xlens is None:
+            xlens = jnp.full((B,), S, jnp.int32)
+        yl = jnp.maximum(ylens, 1)
+        j = jnp.arange(out_len)
+        src = jnp.floor(
+            j[None, :] * (xlens[:, None].astype(jnp.float32) / yl[:, None])
+        ).astype(jnp.int32)
+        src = jnp.clip(src, 0, jnp.maximum(xlens[:, None] - 1, 0))
+        h = jnp.take_along_axis(x, src[..., None], axis=1)  # (B, out_len, C)
+        mask = (j[None, :] < ylens[:, None])[..., None].astype(h.dtype)
         for i in range(len(c.sampling_ratios)):
-            h = nn.Conv(c.channels, kernel_size=(3,), padding="SAME", name=f"conv_{i}")(h)
-            h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name=f"norm_{i}")(h)
+            h = nn.Conv(c.channels, kernel_size=(3,), padding="SAME", name=f"conv_{i}")(
+                h * mask
+            )
+            h = MaskedGroupNorm(name=f"norm_{i}")(h, mask)
             h = h * jnp.tanh(jax.nn.softplus(h))  # Mish
         h = nn.Dense(c.channels, name="out_proj")(h)
-        mask = (jnp.arange(out_len)[None, :] < ylens[:, None])[..., None]
         return h * mask
 
 
@@ -337,8 +384,8 @@ class S2Mel(nn.Module):
         self.cfm_estimator = DiT(self.cfg.dit, self.cfg.wavenet, name="cfm_estimator")
         self.gpt_layer = GPTLayer(self.cfg.gpt_dims, name="gpt_layer")
 
-    def regulate(self, x, ylens, out_len: int):
-        return self.length_regulator(x, ylens, out_len)
+    def regulate(self, x, ylens, out_len: int, xlens=None):
+        return self.length_regulator(x, ylens, out_len, xlens)
 
     def project_gpt_latent(self, x):
         return self.gpt_layer(x)

@@ -241,8 +241,11 @@ class IndexTTS2Engine:
         )
         s_infer = s_infer + latent
         target_lengths = jnp.floor(code_len.astype(jnp.float32) * 1.72).astype(jnp.int32)
+        # xlens=code_len: the nearest grid must use the VALID code count, not
+        # the padded bucket width (reference interpolates exact tensors,
+        # infer_v2.py:846-849)
         cond = self.s2mel.apply(
-            sp, s_infer, target_lengths, target_len, method=S2Mel.regulate
+            sp, s_infer, target_lengths, target_len, code_len, method=S2Mel.regulate
         )
         B = cond.shape[0]
         cat_cond = jnp.concatenate(
@@ -439,8 +442,14 @@ class IndexTTS2Engine:
         )
         codes_np = np.asarray(res.codes)
         n_codes = int(np.asarray(res.lengths)[0])
-        # strip the stop token (reference trims codes at stop, infer_v2.py:795-806)
-        code_len = n_codes - 1 if (n_codes > 0 and codes_np[0, n_codes - 1] == self.cfg.gpt.stop_mel_token) else n_codes
+        # trim at stop; optionally compress long silent-token runs (the
+        # reference v2 defines remove_long_silence at infer_v2.py:410-465 but
+        # its live path only stop-trims at :789-807 — see RuntimeConfig)
+        codes_row, code_len = self.remove_long_silence(
+            codes_np[0, :n_codes],
+            self.cfg.gpt.stop_mel_token,
+            compress=rt.remove_long_silence,
+        )
         code_len = max(code_len, 1)
         t_gpt_gen = time.perf_counter() - t0
 
@@ -448,7 +457,7 @@ class IndexTTS2Engine:
         t1 = time.perf_counter()
         code_bucket = code_len if self.precise else next_bucket(code_len, 64, 64)
         codes_arr = np.full((1, code_bucket), self.cfg.gpt.stop_mel_token, np.int32)
-        codes_arr[0, :code_len] = codes_np[0, :code_len]
+        codes_arr[0, :code_len] = codes_row[:code_len]
         latent = self._latent_program(
             self.p_gpt,
             spk.spk_latents,
@@ -471,9 +480,12 @@ class IndexTTS2Engine:
             nkey = jax.random.PRNGKey(seed + 1)
         else:
             self._rng, nkey = jax.random.split(self._rng)
+        # draw noise at a canonical (bucket-independent) width and slice, so
+        # precise and bucketed modes consume identical noise per frame
+        noise_len = spk.ref_mel_len + next_bucket(target_len_exact, 128, 128)
         noise = jax.random.normal(
-            nkey, (1, self.cfg.s2mel.dit.in_channels, total_len), jnp.float32
-        )
+            nkey, (1, self.cfg.s2mel.dit.in_channels, noise_len), jnp.float32
+        )[:, :, :total_len]
         vc = self._s2mel_program(
             self.p_s2mel,
             self.p_repcodec,
@@ -577,20 +589,21 @@ class IndexTTS2Engine:
         )
         codes_np = np.asarray(res.codes)
         lengths = np.asarray(res.lengths)
-        code_lens = np.maximum(
-            np.where(
-                codes_np[np.arange(B), np.maximum(lengths - 1, 0)]
-                == self.cfg.gpt.stop_mel_token,
-                lengths - 1,
-                lengths,
-            ),
-            1,
-        )
+        # per-row stop trim + optional silent-run compression
+        rows = [
+            self.remove_long_silence(
+                codes_np[b, : int(lengths[b])],
+                self.cfg.gpt.stop_mel_token,
+                compress=rt.remove_long_silence,
+            )
+            for b in range(B)
+        ]
+        code_lens = np.maximum([r[1] for r in rows], 1)
         Lm = int(code_lens.max())
         code_bucket = Lm if self.precise else next_bucket(Lm, 64, 64)
         codes_arr = np.full((B, code_bucket), self.cfg.gpt.stop_mel_token, np.int32)
         for b in range(B):
-            codes_arr[b, : code_lens[b]] = codes_np[b, : code_lens[b]]
+            codes_arr[b, : code_lens[b]] = rows[b][0][: code_lens[b]]
 
         latent = self._latent_program(
             self.p_gpt,
@@ -609,9 +622,10 @@ class IndexTTS2Engine:
             nkey = jax.random.PRNGKey(seed + 1)
         else:
             self._rng, nkey = jax.random.split(self._rng)
+        noise_len = spk.ref_mel_len + next_bucket(int(target_exact.max()), 128, 128)
         noise = jax.random.normal(
-            nkey, (B, self.cfg.s2mel.dit.in_channels, total_len), jnp.float32
-        )
+            nkey, (B, self.cfg.s2mel.dit.in_channels, noise_len), jnp.float32
+        )[:, :, :total_len]
         vc = self._s2mel_program(
             self.p_s2mel, self.p_repcodec,
             latent, jnp.asarray(codes_arr), jnp.asarray(code_lens),
@@ -677,16 +691,17 @@ class IndexTTS2Engine:
     @staticmethod
     def remove_long_silence(
         codes: np.ndarray, stop_token: int, silent_token: int = 52,
-        max_consecutive: int = 30,
+        max_consecutive: int = 30, compress: bool = True,
     ) -> Tuple[np.ndarray, int]:
-        """infer_v2.py:410-465: if a sequence contains more than
-        `max_consecutive` silent tokens total, keep at most 10 consecutive
-        ones. Returns (trimmed codes (T',), length)."""
+        """infer_v2.py:410-465 / infer.py:147 (v1 live call sites :450,:639):
+        trim at the first stop token; if compress and the sequence contains
+        more than `max_consecutive` silent tokens total, keep at most 10
+        consecutive ones. Returns (trimmed codes (T',), length)."""
         code = codes
         stop_idx = np.nonzero(code == stop_token)[0]
         length = int(stop_idx[0]) if len(stop_idx) else len(code)
         code = code[:length]
-        if int(np.sum(code == silent_token)) > max_consecutive:
+        if compress and int(np.sum(code == silent_token)) > max_consecutive:
             keep = []
             run = 0
             for k in range(length):

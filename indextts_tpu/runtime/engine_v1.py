@@ -139,12 +139,21 @@ class IndexTTSV1Engine:
             codes = np.asarray(res.codes)
             lengths = np.asarray(res.lengths)
 
-            # latent pass + vocoder per batch
-            code_lens = np.maximum(lengths - 1, 1)
+            # stop-trim + silent-run compression (reference v1 applies
+            # remove_long_silence to every batch, infer.py:450,639)
+            from indextts_tpu.runtime.engine import IndexTTS2Engine
+
+            rows = [
+                IndexTTS2Engine.remove_long_silence(
+                    codes[bi, : int(lengths[bi])], self.gpt_cfg.stop_mel_token
+                )
+                for bi in range(B)
+            ]
+            code_lens = np.maximum([r[1] for r in rows], 1)
             Lm = int(code_lens.max())
             codes_arr = np.full((B, Lm), self.gpt_cfg.stop_mel_token, np.int32)
             for bi in range(B):
-                codes_arr[bi, : code_lens[bi]] = codes[bi, : code_lens[bi]]
+                codes_arr[bi, : code_lens[bi]] = rows[bi][0][: code_lens[bi]]
             wav_lens = code_lens * self.gpt_cfg.mel_length_compression
             latents = self._latent_program(
                 self.p_gpt,

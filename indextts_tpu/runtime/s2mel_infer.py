@@ -79,8 +79,8 @@ def cfm_inference(
 
 
 @functools.partial(jax.jit, static_argnames=("model", "out_len"))
-def length_regulate(model: S2Mel, params, x, ylens, out_len: int):
-    return model.apply(params, x, ylens, out_len, method=S2Mel.regulate)
+def length_regulate(model: S2Mel, params, x, ylens, out_len: int, xlens=None):
+    return model.apply(params, x, ylens, out_len, xlens, method=S2Mel.regulate)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))

@@ -207,39 +207,61 @@ class TTSServer:
                     )
                 )
             else:
-                # chunked s16le PCM (serve_tars.py:345-438): thread producer
-                # feeding an asyncio queue
-                queue: asyncio.Queue = asyncio.Queue(maxsize=8)
-                loop = asyncio.get_running_loop()
+                await self._tts_stream(writer, payload)
 
-                def producer():
-                    try:
-                        for chunk in self.stream_fn(**payload):
-                            asyncio.run_coroutine_threadsafe(
-                                queue.put(("data", chunk)), loop
-                            ).result()
-                        asyncio.run_coroutine_threadsafe(queue.put(("end", None)), loop).result()
-                    except Exception as e:
-                        asyncio.run_coroutine_threadsafe(
-                            queue.put(("error", str(e))), loop
-                        ).result()
+    async def _tts_stream(self, writer: asyncio.StreamWriter, payload: Dict[str, Any]):
+        """Chunked s16le PCM (serve_tars.py:345-438): thread producer feeding
+        an asyncio queue.
 
-                fut = loop.run_in_executor(self.pool, producer)
-                writer.write(
-                    "HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n"
-                    "Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n".encode()
-                )
-                while True:
-                    kind, item = await queue.get()
-                    if kind == "end":
-                        break
-                    if kind == "error":
-                        break
-                    pcm = audio_utils.pcm16_bytes(item)
-                    writer.write(f"{len(pcm):x}\r\n".encode() + pcm + b"\r\n")
-                    await writer.drain()
-                writer.write(b"0\r\n\r\n")
-                await fut
+        Backpressure is credit-based (the producer blocks on a
+        threading.Semaphore, never on an asyncio future), so a client
+        disconnect mid-stream cannot strand the producer thread: the consumer
+        sets `stop` in its finally block and the producer's timed acquire
+        observes it and abandons the synthesis generator."""
+        import threading
+
+        queue: asyncio.Queue = asyncio.Queue()
+        loop = asyncio.get_running_loop()
+        stop = threading.Event()
+        credits = threading.Semaphore(8)
+
+        def _post(item) -> None:
+            try:
+                loop.call_soon_threadsafe(queue.put_nowait, item)
+            except RuntimeError:  # loop already closed
+                pass
+
+        def producer():
+            try:
+                for chunk in self.stream_fn(**payload):
+                    while not credits.acquire(timeout=0.25):
+                        if stop.is_set():
+                            return
+                    if stop.is_set():
+                        return
+                    _post(("data", chunk))
+                _post(("end", None))
+            except Exception as e:
+                _post(("error", str(e)))
+
+        fut = loop.run_in_executor(self.pool, producer)
+        writer.write(
+            "HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n"
+            "Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n".encode()
+        )
+        try:
+            while True:
+                kind, item = await queue.get()
+                if kind in ("end", "error"):
+                    break
+                pcm = audio_utils.pcm16_bytes(item)
+                credits.release()
+                writer.write(f"{len(pcm):x}\r\n".encode() + pcm + b"\r\n")
+                await writer.drain()
+            writer.write(b"0\r\n\r\n")
+        finally:
+            stop.set()
+            await fut
 
     def _metrics_text(self) -> str:
         """Prometheus text exposition (beyond the reference, SURVEY §5 notes

@@ -102,3 +102,41 @@ def test_stop_token_stops_early(setup):
     if n < 30:
         assert codes[n - 1] == TINY.stop_mel_token
         assert (codes[n:] == TINY.stop_mel_token).all()
+
+
+def test_remove_long_silence_matches_reference():
+    """Our host-side remove_long_silence equals the reference's
+    (infer_v2.py:410-465 == infer.py:147; live in v1 at infer.py:450,639)."""
+    import torch
+    from tests import reference_compat as rc
+
+    infer_v2 = rc.import_reference("indextts.infer_v2")
+
+    class Shim:
+        stop_mel_token = 8193
+
+    ref_fn = infer_v2.IndexTTS2.remove_long_silence.__get__(Shim())
+    from indextts_tpu.runtime.engine import IndexTTS2Engine
+
+    rng = np.random.default_rng(3)
+    cases = []
+    # long silence run mid-sequence, then stop
+    c = rng.integers(0, 100, 120)
+    c[20:70] = 52
+    c[100] = 8193
+    cases.append(c)
+    # scattered silences below the threshold
+    c = rng.integers(0, 100, 60)
+    c[::7] = 52
+    cases.append(c)
+    # no stop token at all, heavy silence
+    c = np.full(80, 52)
+    c[::11] = 3
+    cases.append(c)
+    for c in cases:
+        want_codes, want_lens = ref_fn(torch.from_numpy(c[None].astype(np.int64)))
+        got, got_len = IndexTTS2Engine.remove_long_silence(
+            c.astype(np.int32), stop_token=8193
+        )
+        assert got_len == int(want_lens[0])
+        np.testing.assert_array_equal(got, want_codes[0, :got_len].numpy())

@@ -102,3 +102,60 @@ def test_tts_stream(server):
     data = r.read()
     # 3 chunks x 1024 samples x 2 bytes
     assert len(data) == 3 * 2048
+
+
+def test_stream_disconnect_does_not_strand_producer():
+    """ADVICE r1: a client disconnect mid-stream must terminate the producer
+    thread (previously it blocked forever on a full bounded queue, exhausting
+    the pool and turning every later /tts into a permanent 429)."""
+    produced = []
+    release = threading.Event()
+
+    def slow_stream(text="", **kw):
+        for i in range(64):
+            produced.append(i)
+            yield np.zeros(256, np.float32)
+        release.set()
+
+    srv = TTSServer(stub_engine, ServerSettings(max_concurrency=1,
+                                                cache_dir="/tmp/ttstest-cache"),
+                    stream_fn=slow_stream)
+
+    class DyingWriter:
+        def __init__(self):
+            self.writes = 0
+
+        def write(self, data):
+            pass
+
+        async def drain(self):
+            self.writes += 1
+            if self.writes >= 2:
+                raise ConnectionResetError("client went away")
+
+    async def scenario():
+        w = DyingWriter()
+        with pytest.raises(ConnectionResetError):
+            await srv._tts(w, json.dumps({"text": "x"}).encode(), stream=True)
+
+    asyncio.run(scenario())
+    # the producer must have stopped early (nowhere near the 64 chunks) and
+    # the pool thread must be free again: a fresh blocking request succeeds
+    assert not release.is_set()
+    assert len(produced) < 64
+
+    async def follow_up():
+        chunks = []
+
+        class Collector:
+            def write(self, data):
+                chunks.append(bytes(data))
+
+            async def drain(self):
+                pass
+
+        await srv._tts(Collector(), json.dumps({"text": "y"}).encode(), stream=False)
+        return b"".join(chunks)
+
+    out = asyncio.run(asyncio.wait_for(follow_up(), timeout=10))
+    assert b"RIFF" in out
