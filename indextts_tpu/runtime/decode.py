@@ -321,10 +321,27 @@ class GPTDecoder:
         max_new: int,
         num_beams: int,
         length_penalty: jnp.ndarray,
+        key: Optional[jnp.ndarray] = None,
+        temperature: Optional[jnp.ndarray] = None,
+        top_p: Optional[jnp.ndarray] = None,
+        do_sample: bool = False,
     ):
-        """Deterministic beam search (HF beam_search semantics with early
-        beams finalized on stop token; used for the reference's
-        num_beams>1, do_sample=False configuration)."""
+        """HF _beam_search semantics (vendored
+        transformers_generation_utils.py:3325-3560), both variants:
+
+        do_sample=False — deterministic beam search: top-2*nb candidates of
+        log_softmax + repetition penalty + beam scores.
+
+        do_sample=True — beam-multinomial sampling (the reference's DEFAULT
+        serving config, infer_v2.py:714-722 with serve_tars never enabling
+        accel): after the repetition penalty the warper chain runs per beam
+        (temperature -> top-k(30) -> top-p, min_tokens_to_keep=2,
+        :1019-1043), then 2*nb candidates are drawn WITHOUT replacement from
+        softmax over the flattened (nb*V) scores (:3511-3518) — realized here
+        with the Gumbel-top-k trick, which samples the identical
+        distribution — and sorted by their unperturbed scores. Token-exact
+        parity with torch.multinomial is impossible (different RNG); the
+        deterministic variant is the token-parity target."""
         cfg = self.cfg
         model = self.model
         s = self.sampling
@@ -379,14 +396,37 @@ class GPTDecoder:
 
         def body_fn(state):
             (step, codes, logits, ks, vs, beam_scores, penal,
-             fin_scores, fin_codes, fin_lens) = state
+             fin_scores, fin_codes, fin_lens, key) = state
             # HF beam_search order: log_softmax FIRST, then processors
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             if s.use_repetition_penalty:
                 logp = _repetition_penalty(logp, penal, repetition_penalty)
+            if s.ban_stop_token:
+                logp = logp.at[:, cfg.stop_mel_token].set(NEG_INF)
+            if do_sample:
+                # warper chain per beam row on the processed scores
+                w = logp / temperature
+                vals, idx = jax.lax.top_k(w, s.top_k)
+                probs = jax.nn.softmax(vals, axis=-1)
+                cum = jnp.cumsum(probs, axis=-1)
+                keep = (cum - probs) < top_p
+                keep = keep.at[:, :2].set(True)  # min_tokens_to_keep=2 (beam)
+                masked = jnp.where(keep, vals, NEG_INF)
+                logp = jnp.full_like(w, NEG_INF).at[
+                    jnp.arange(nb)[:, None], idx
+                ].set(masked)
             total = beam_scores[:, None] + logp  # (nb, V)
             flat = total.reshape(-1)
-            cand_scores, cand_idx = jax.lax.top_k(flat, 2 * nb)
+            if do_sample:
+                key, sub = jax.random.split(key)
+                gumbel = jax.random.gumbel(sub, flat.shape, jnp.float32)
+                _, cand_idx = jax.lax.top_k(flat + gumbel, 2 * nb)
+                cand_scores = flat[cand_idx]
+                order = jnp.argsort(-cand_scores)  # HF sorts by true score
+                cand_scores = cand_scores[order]
+                cand_idx = cand_idx[order]
+            else:
+                cand_scores, cand_idx = jax.lax.top_k(flat, 2 * nb)
             cand_beam = cand_idx // V
             cand_tok = (cand_idx % V).astype(jnp.int32)
             is_eos = cand_tok == cfg.stop_mel_token
@@ -438,10 +478,10 @@ class GPTDecoder:
                 params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
             )
             return (step + 1, codes, logits, ks, vs, beam_scores, penal,
-                    fin_scores, fin_codes, fin_lens)
+                    fin_scores, fin_codes, fin_lens, key)
 
         def cond_fn(state):
-            (step, _, _, _, _, beam_scores, _, fin_scores, _, _) = state
+            (step, _, _, _, _, beam_scores, _, fin_scores, _, _, _) = state
             # HF is_done (early_stopping=False): nb finalized AND the worst
             # finalized beats the best possible active continuation
             n_fin_full = fin_scores[nb - 1] > NEG_INF
@@ -452,12 +492,18 @@ class GPTDecoder:
             done = jnp.logical_and(n_fin_full, fin_scores[nb - 1] >= cur_norm)
             return jnp.logical_and(step < max_new, ~done)
 
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if temperature is None:
+            temperature = jnp.asarray(1.0, jnp.float32)
+        if top_p is None:
+            top_p = jnp.asarray(1.0, jnp.float32)
         state = (
             jnp.asarray(0, jnp.int32), codes0, logits0, ks, vs,
-            beam_scores0, penal0, fin_scores0, fin_codes0, fin_lens0,
+            beam_scores0, penal0, fin_scores0, fin_codes0, fin_lens0, key,
         )
         (step, codes, _, _, _, beam_scores, _, fin_scores, fin_codes,
-         fin_lens) = jax.lax.while_loop(cond_fn, body_fn, state)
+         fin_lens, _) = jax.lax.while_loop(cond_fn, body_fn, state)
 
         # finalize: merge still-active beams (no eos; length = step)
         act_norm = beam_scores / jnp.power(
@@ -482,17 +528,25 @@ class GPTDecoder:
         num_beams: int = 3,
         repetition_penalty: float = 10.0,
         length_penalty: float = 0.0,
+        do_sample: bool = False,
+        key: Optional[jnp.ndarray] = None,
+        temperature: float = 1.0,
+        top_p: float = 1.0,
     ) -> GenerateResult:
         if not hasattr(self, "_beam_jit"):
             self._beam_jit = jax.jit(
                 self._generate_beam,
-                static_argnames=("max_new", "num_beams"),
+                static_argnames=("max_new", "num_beams", "do_sample"),
             )
         codes, lengths = self._beam_jit(
             params, conds_latent, text_ids, text_pos, text_valid,
             jnp.asarray(repetition_penalty, jnp.float32),
             max_new=max_new, num_beams=num_beams,
             length_penalty=jnp.asarray(length_penalty, jnp.float32),
+            key=key,
+            temperature=jnp.asarray(temperature, jnp.float32),
+            top_p=jnp.asarray(top_p, jnp.float32),
+            do_sample=do_sample,
         )
         return GenerateResult(codes=codes, lengths=lengths)
 

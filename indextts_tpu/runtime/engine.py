@@ -390,6 +390,9 @@ class IndexTTS2Engine:
         temperature: Optional[float] = None,
         top_p: Optional[float] = None,
         seed: Optional[int] = None,
+        num_beams: Optional[int] = None,
+        do_sample: Optional[bool] = None,
+        length_penalty: Optional[float] = None,
     ) -> SegmentResult:
         rt = self.cfg.runtime
         max_new = max_mel_tokens or rt.max_mel_tokens
@@ -428,18 +431,44 @@ class IndexTTS2Engine:
         else:
             self._rng, key = jax.random.split(self._rng)
 
-        res = self.decoder.generate(
-            {"params": self.p_gpt},
-            conds,
-            jnp.asarray(ids),
-            jnp.asarray(pos),
-            jnp.asarray(valid),
-            key,
-            max_new=max_new,
-            temperature=temperature if temperature is not None else rt.temperature,
-            top_p=top_p if top_p is not None else rt.top_p,
-            repetition_penalty=rt.repetition_penalty,
-        )
+        # route by (do_sample, num_beams) exactly like the reference HF path
+        # (infer_v2.py:714-776): num_beams>1 -> beam search (multinomial when
+        # do_sample, deterministic otherwise); num_beams==1 -> sampling loop
+        nb = num_beams if num_beams is not None else rt.num_beams
+        ds = do_sample if do_sample is not None else rt.do_sample
+        temp = temperature if temperature is not None else rt.temperature
+        tp = top_p if top_p is not None else rt.top_p
+        if nb > 1:
+            res = self.decoder.generate_beam(
+                {"params": self.p_gpt},
+                conds,
+                jnp.asarray(ids),
+                jnp.asarray(pos),
+                jnp.asarray(valid),
+                max_new=max_new,
+                num_beams=nb,
+                repetition_penalty=rt.repetition_penalty,
+                length_penalty=(
+                    length_penalty if length_penalty is not None else rt.length_penalty
+                ),
+                do_sample=ds,
+                key=key if ds else None,
+                temperature=temp,
+                top_p=tp,
+            )
+        else:
+            res = self.decoder.generate(
+                {"params": self.p_gpt},
+                conds,
+                jnp.asarray(ids),
+                jnp.asarray(pos),
+                jnp.asarray(valid),
+                key,
+                max_new=max_new,
+                temperature=temp,
+                top_p=tp,
+                repetition_penalty=rt.repetition_penalty,
+            )
         codes_np = np.asarray(res.codes)
         n_codes = int(np.asarray(res.lengths)[0])
         # trim at stop; optionally compress long silent-token runs (the
@@ -457,7 +486,8 @@ class IndexTTS2Engine:
         t1 = time.perf_counter()
         code_bucket = code_len if self.precise else next_bucket(code_len, 64, 64)
         codes_arr = np.full((1, code_bucket), self.cfg.gpt.stop_mel_token, np.int32)
-        codes_arr[0, :code_len] = codes_row[:code_len]
+        n_copy = min(code_len, len(codes_row))
+        codes_arr[0, :n_copy] = codes_row[:n_copy]  # 0: stop-only row
         latent = self._latent_program(
             self.p_gpt,
             spk.spk_latents,
@@ -543,6 +573,9 @@ class IndexTTS2Engine:
         """Decode ALL segments of a request concurrently (batched AR loop +
         batched latent/s2mel/vocoder) — the continuous-batching analog of the
         accel engine's multi-sequence decode (accel_engine.py:444-500).
+        Like the reference accel engine, this path is pure temperature
+        sampling and ignores num_beams (model_v2.py:871-883 routes to accel
+        only for single sequences; accel has no beam support).
         Returns per-segment waveforms in input order."""
         rt = self.cfg.runtime
         max_new = max_mel_tokens or rt.max_mel_tokens
@@ -603,7 +636,8 @@ class IndexTTS2Engine:
         code_bucket = Lm if self.precise else next_bucket(Lm, 64, 64)
         codes_arr = np.full((B, code_bucket), self.cfg.gpt.stop_mel_token, np.int32)
         for b in range(B):
-            codes_arr[b, : code_lens[b]] = rows[b][0][: code_lens[b]]
+            n = min(code_lens[b], len(rows[b][0]))
+            codes_arr[b, :n] = rows[b][0][:n]  # n==0: stop-only row
 
         latent = self._latent_program(
             self.p_gpt,

@@ -153,7 +153,8 @@ class IndexTTSV1Engine:
             Lm = int(code_lens.max())
             codes_arr = np.full((B, Lm), self.gpt_cfg.stop_mel_token, np.int32)
             for bi in range(B):
-                codes_arr[bi, : code_lens[bi]] = rows[bi][0][: code_lens[bi]]
+                n = min(code_lens[bi], len(rows[bi][0]))
+                codes_arr[bi, :n] = rows[bi][0][:n]  # n==0: stop-only row
             wav_lens = code_lens * self.gpt_cfg.mel_length_compression
             latents = self._latent_program(
                 self.p_gpt,

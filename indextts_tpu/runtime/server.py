@@ -190,9 +190,17 @@ class TTSServer:
                     writer.write(_http_response(200, cached, "audio/wav"))
                     return
                 loop = asyncio.get_running_loop()
-                result = await loop.run_in_executor(
-                    self.pool, lambda: self.engine_fn(**payload)
-                )
+                try:
+                    result = await loop.run_in_executor(
+                        self.pool, lambda: self.engine_fn(**payload)
+                    )
+                except ValueError as e:
+                    # bad request semantics (e.g. use_emo_text without the
+                    # Qwen model, missing speaker prompt)
+                    writer.write(
+                        _http_response(400, json.dumps({"error": str(e)}).encode())
+                    )
+                    return
                 wav = audio_utils.wav_bytes(result["audio"], result["sampling_rate"])
                 self.cache.put(key, wav)
                 dur = time.perf_counter() - t0

@@ -42,13 +42,43 @@ def main(argv=None):
         engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
     print_stage("Models loaded", "complete", time.perf_counter() - t0)
 
+    # attach the Qwen emotion model when the checkpoint dir ships it
+    # (reference lazy-loads qwen0.6bemo4-merge, infer_v2.py:321-328)
+    if args.model_dir:
+        from pathlib import Path
+
+        qdir = Path(args.model_dir) / "qwen0.6bemo4-merge"
+        if qdir.is_dir():
+            try:
+                from indextts_tpu.runtime.qwen_emo import build_qwen_emotion
+
+                engine.qwen_emo = build_qwen_emotion(str(qdir))
+                print_stage("Qwen emotion model attached", "complete")
+            except Exception as e:  # degraded mode, like the reference ladders
+                print_stage("Qwen emotion load failed", "failed",
+                            message_extra=str(e))
+
     settings = ServerSettings(host=args.host, port=args.port)
     default_prompt = args.reference_audio or settings.reference_audio or None
 
     import numpy as np
 
+    def _emo_kwargs(text, use_emo_text, emo_text, emo_vector):
+        """webui emotion mode 3: derive the 8-dim vector from text
+        (infer_v2.py:586-598). ValueError -> HTTP 400 in the server."""
+        if not use_emo_text:
+            return emo_vector
+        qe = getattr(engine, "qwen_emo", None)
+        if qe is None:
+            raise ValueError(
+                "use_emo_text requested but no Qwen emotion model is loaded "
+                "(checkpoint dir lacks qwen0.6bemo4-merge)"
+            )
+        return list(qe.inference(emo_text if emo_text else text).values())
+
     def synth(text="", spk_audio=None, emo_audio=None, emo_alpha=1.0,
-              emo_vector=None, seed=None, **kw):
+              emo_vector=None, seed=None, use_emo_text=False, emo_text=None,
+              **kw):
         spk = spk_audio or default_prompt
         if spk is None:
             raise ValueError("no speaker prompt: pass spk_audio or set TARS_REFERENCE_AUDIO")
@@ -56,14 +86,24 @@ def main(argv=None):
             return engine.infer_text(
                 spk, text, emo_audio=emo_audio, emo_alpha=emo_alpha,
                 emo_vector=emo_vector, seed=seed,
+                use_emo_text=use_emo_text, emo_text=emo_text,
             )
+        emo_vector = _emo_kwargs(text, use_emo_text, emo_text, emo_vector)
         ids = np.frombuffer(text.encode()[:200], dtype=np.uint8).astype(np.int32)
         ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
         return engine.infer(spk, [ids], emo_audio=emo_audio,
                             emo_alpha=emo_alpha, emo_vector=emo_vector, seed=seed)
 
-    def synth_stream(text="", spk_audio=None, **kw):
+    def synth_stream(text="", spk_audio=None, use_emo_text=False,
+                     emo_text=None, **kw):
         spk = spk_audio or default_prompt
+        if spk is None:
+            raise ValueError("no speaker prompt: pass spk_audio or set TARS_REFERENCE_AUDIO")
+        emo_vector = _emo_kwargs(
+            text, use_emo_text, emo_text, kw.get("emo_vector")
+        )
+        if emo_vector is not None:
+            kw["emo_vector"] = emo_vector
         if engine.tokenizer is not None:
             pieces = engine.tokenizer.tokenize(text)
             segs = engine.tokenizer.split_segments(

@@ -131,3 +131,66 @@ def test_decode_loop_pallas_ragged_matches_xla(rng):
         ).codes
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("valid", [[100, 512, 257], [512, 1, 128]])
+def test_ragged_decode_attention_blocked(rng, valid):
+    """Block-major variant: one DMA per token block carries ALL heads."""
+    from indextts_tpu.ops.decode_attention import (
+        ragged_decode_attention_blocked,
+        to_blocked_cache,
+    )
+
+    B, H, cap, Dh, blk = 3, 4, 512, 64, 128
+    q = rng.standard_normal((B, H, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, cap, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, cap, Dh)).astype(np.float32)
+    vl = np.asarray(valid, np.int32)
+    want = np.asarray(
+        ragged_decode_attention_xla(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(vl)
+        )
+    )
+    kb = to_blocked_cache(jnp.asarray(k), blk)
+    vb = to_blocked_cache(jnp.asarray(v), blk)
+    assert kb.shape == (B, cap // blk, H, Dh, blk)
+    got = np.asarray(
+        ragged_decode_attention_blocked(
+            jnp.asarray(q), kb, vb, jnp.asarray(vl), interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_ragged_decode_attention_blocked_hole(rng):
+    """The left-pad hole [hole_s, hole_e) is excluded from attention."""
+    from indextts_tpu.ops.decode_attention import (
+        ragged_decode_attention_blocked,
+        to_blocked_cache,
+    )
+
+    B, H, cap, Dh, blk = 2, 3, 256, 64, 128
+    q = rng.standard_normal((B, H, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, cap, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, cap, Dh)).astype(np.float32)
+    vl = np.asarray([200, 256], np.int32)
+    hs = np.asarray([10, 0], np.int32)
+    he = np.asarray([50, 0], np.int32)
+    # XLA reference with the hole masked manually
+    s = np.einsum("bhd,bhsd->bhs", q, k) / np.sqrt(Dh)
+    pos = np.arange(cap)
+    mask = (pos[None, :] < vl[:, None]) & ~(
+        (pos[None, :] >= hs[:, None]) & (pos[None, :] < he[:, None])
+    )
+    s = np.where(mask[:, None, :], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("bhs,bhsd->bhd", p, v)
+    got = np.asarray(
+        ragged_decode_attention_blocked(
+            jnp.asarray(q), to_blocked_cache(jnp.asarray(k), blk),
+            to_blocked_cache(jnp.asarray(v), blk), jnp.asarray(vl),
+            interpret=True, hole_start=jnp.asarray(hs), hole_end=jnp.asarray(he),
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -116,3 +116,84 @@ def test_e2e_batched_segments(engine, rng):
     out = engine.infer((prompt, sr), segs, seed=3, batched=True)
     assert out["duration_sec"] > 0
     assert np.isfinite(out["audio"]).all()
+
+
+def test_e2e_beam_modes(engine, rng):
+    """Default config routes num_beams=3 through the jitted beam (sampling and
+    deterministic); num_beams=1 uses the pure-sampling loop (accel analog)."""
+    sr = 16000
+    prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    text = rng.integers(2, 50, 5)
+    # beam-multinomial (reference default serving config)
+    bs = engine.infer((prompt, sr), [text], seed=11)  # num_beams=3 from config
+    assert np.isfinite(bs["audio"]).all()
+    # deterministic beam
+    det = engine.infer((prompt, sr), [text], seed=11, do_sample=False)
+    assert np.isfinite(det["audio"]).all()
+    # pure sampling path
+    sp = engine.infer((prompt, sr), [text], seed=11, num_beams=1)
+    assert np.isfinite(sp["audio"]).all()
+
+
+def test_use_emo_text_drives_matrix_blend(engine, rng):
+    """infer_text(use_emo_text=True) must route the Qwen vector into the
+    emotion-matrix blend (serve.py/webui mode 3; infer_v2.py:586-598)."""
+    sr = 16000
+    prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+
+    class FakeTok:
+        def tokenize(self, text):
+            return list(text)
+
+        def split_segments(self, pieces, max_seg):
+            return [pieces[:5]]
+
+        def convert_tokens_to_ids(self, toks):
+            return [2 + (ord(t) % 40) for t in toks]
+
+    class FakeQwen:
+        def inference(self, text):
+            return {"happy": 0.0, "angry": 0.0, "sad": 0.8, "afraid": 0.0,
+                    "disgusted": 0.0, "melancholic": 0.0, "surprised": 0.0,
+                    "calm": 0.0}
+
+    engine.tokenizer = FakeTok()
+    engine.qwen_emo = FakeQwen()
+    seen = {}
+    orig = engine._emovec_from_matrix
+
+    def spy(emo_vector, style, use_random):
+        seen["vec"] = list(emo_vector)
+        return orig(emo_vector, style, use_random)
+
+    engine._emovec_from_matrix = spy
+    try:
+        out = engine.infer_text((prompt, sr), "hello world", use_emo_text=True,
+                                seed=3)
+        assert np.isfinite(out["audio"]).all()
+        assert seen["vec"][2] == 0.8  # the sad component drove the blend
+    finally:
+        engine.tokenizer = None
+        engine.qwen_emo = None
+        engine._emovec_from_matrix = orig
+
+
+def test_use_emo_text_without_qwen_raises(engine):
+    class FakeTok:
+        def tokenize(self, text):
+            return list(text)
+
+        def split_segments(self, pieces, max_seg):
+            return [pieces[:4]]
+
+        def convert_tokens_to_ids(self, toks):
+            return [2] * len(toks)
+
+    engine.tokenizer = FakeTok()
+    engine.qwen_emo = None
+    try:
+        with pytest.raises(ValueError, match="qwen_emo"):
+            engine.infer_text((np.zeros(16000, np.float32), 16000), "hi",
+                              use_emo_text=True)
+    finally:
+        engine.tokenizer = None

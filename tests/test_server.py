@@ -159,3 +159,32 @@ def test_stream_disconnect_does_not_strand_producer():
 
     out = asyncio.run(asyncio.wait_for(follow_up(), timeout=10))
     assert b"RIFF" in out
+
+
+def test_value_error_maps_to_400():
+    """Engine ValueError (e.g. use_emo_text without the Qwen model) -> 400."""
+    def picky_engine(text="", use_emo_text=False, **kw):
+        if use_emo_text:
+            raise ValueError("use_emo_text requested but no Qwen emotion model")
+        return stub_engine(text)
+
+    srv = TTSServer(picky_engine, ServerSettings(max_concurrency=1,
+                                                 cache_dir="/tmp/ttstest-c3"))
+
+    async def scenario():
+        chunks = []
+
+        class W:
+            def write(self, d):
+                chunks.append(bytes(d))
+
+            async def drain(self):
+                pass
+
+        await srv._tts(W(), json.dumps({"text": "x", "use_emo_text": True}).encode(),
+                       stream=False)
+        return b"".join(chunks)
+
+    out = asyncio.run(scenario())
+    assert out.startswith(b"HTTP/1.1 400")
+    assert b"Qwen" in out
