@@ -510,12 +510,19 @@ class IndexTTS2Engine:
             nkey = jax.random.PRNGKey(seed + 1)
         else:
             self._rng, nkey = jax.random.split(self._rng)
-        # draw noise at a canonical (bucket-independent) width and slice, so
-        # precise and bucketed modes consume identical noise per frame
-        noise_len = spk.ref_mel_len + next_bucket(target_len_exact, 128, 128)
-        noise = jax.random.normal(
-            nkey, (1, self.cfg.s2mel.dit.in_channels, noise_len), jnp.float32
-        )[:, :, :total_len]
+        if getattr(self, "_noise_hook", None) is not None:
+            # test/parity hook: inject externally-generated CFM noise (e.g.
+            # the reference's torch.randn draw, flow_matching.py:52)
+            noise = jnp.asarray(
+                self._noise_hook((1, self.cfg.s2mel.dit.in_channels, total_len))
+            )
+        else:
+            # draw noise at a canonical (bucket-independent) width and slice,
+            # so precise and bucketed modes consume identical noise per frame
+            noise_len = spk.ref_mel_len + next_bucket(target_len_exact, 128, 128)
+            noise = jax.random.normal(
+                nkey, (1, self.cfg.s2mel.dit.in_channels, noise_len), jnp.float32
+            )[:, :, :total_len]
         vc = self._s2mel_program(
             self.p_s2mel,
             self.p_repcodec,
@@ -531,6 +538,8 @@ class IndexTTS2Engine:
             total_len=total_len,
         )
         mel_out = vc[:, :, spk.ref_mel_len : spk.ref_mel_len + target_len_exact]
+        if getattr(self, "_mel_taps", None) is not None:
+            self._mel_taps.append(np.asarray(mel_out))  # parity-test capture
         t_s2mel = time.perf_counter() - t2
 
         # vocoder ---------------------------------------------------------
