@@ -114,6 +114,27 @@ def num_to_en(n: int) -> str:
     return str(n)
 
 
+_ORDINAL_EN = {
+    "one": "first", "two": "second", "three": "third", "five": "fifth",
+    "eight": "eighth", "nine": "ninth", "twelve": "twelfth",
+}
+
+
+def ordinal_to_en(n: int) -> str:
+    """123 -> 'one hundred twenty-third'."""
+    words = num_to_en(n)
+    head, sep, last = words.rpartition("-")
+    if not sep:
+        head, sep, last = words.rpartition(" ")
+    if last in _ORDINAL_EN:
+        last = _ORDINAL_EN[last]
+    elif last.endswith("y"):
+        last = last[:-1] + "ieth"
+    else:
+        last = last + "th"
+    return head + sep + last
+
+
 def _en_number_token(m: re.Match) -> str:
     s = m.group(0)
     if "." in s:
@@ -128,8 +149,36 @@ def _en_number_token(m: re.Match) -> str:
     return num_to_en(v)
 
 
+# (value-pattern, singular, plural) — longest symbols first so km/h wins over km
+_UNITS_EN = [
+    ("km/h", "kilometer per hour", "kilometers per hour"),
+    ("mph", "mile per hour", "miles per hour"),
+    ("kg", "kilogram", "kilograms"),
+    ("km", "kilometer", "kilometers"),
+    ("cm", "centimeter", "centimeters"),
+    ("mm", "millimeter", "millimeters"),
+    ("GHz", "gigahertz", "gigahertz"),
+    ("MHz", "megahertz", "megahertz"),
+    ("GB", "gigabyte", "gigabytes"),
+    ("MB", "megabyte", "megabytes"),
+    ("°C", "degree Celsius", "degrees Celsius"),
+    ("℃", "degree Celsius", "degrees Celsius"),
+]
+
+
+def _en_phone(m: re.Match) -> str:
+    parts = [p for p in re.split(r"[-. ]", m.group(0)) if p]
+    return ", ".join(" ".join(_ONES_EN[int(c)] for c in p) for p in parts)
+
+
 def normalize_en(text: str) -> str:
     t = text
+    # letter-digit boundary: beta2 -> beta 2 (reference corpus: "beta two")
+    t = re.sub(r"([a-zA-Z])(\d)", r"\1 \2", t)
+    # unary minus: standalone "-3" -> "minus 3" (not ranges/hyphenated words)
+    t = re.sub(r"(?<![A-Za-z\d.])-(?=\d)", "minus ", t)
+    # phone numbers: digit-wise, grouped by separator
+    t = re.sub(r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", _en_phone, t)
     t = re.sub(r"\$\s?(\d+(?:\.\d+)?)", lambda m: _en_number_token(re.match(r"\d+(?:\.\d+)?", m.group(1))) + " dollars", t)
     t = re.sub(r"(\d+(?:\.\d+)?)\s?%", lambda m: _en_number_token(re.match(r"\d+(?:\.\d+)?", m.group(1))) + " percent", t)
     t = re.sub(
@@ -141,6 +190,34 @@ def normalize_en(text: str) -> str:
         + (" " + " ".join(m.group(3).upper()) if m.group(3) else ""),
         t,
     )
+    # measures: 10km/h -> ten kilometers per hour
+    for sym, one, many in _UNITS_EN:
+        t = re.sub(
+            r"(\d+(?:\.\d+)?)\s?" + re.escape(sym) + r"(?![a-zA-Z])",
+            lambda m, one=one, many=many: _en_number_token(
+                re.match(r"\d+(?:\.\d+)?", m.group(1))
+            ) + " " + (one if m.group(1) == "1" else many),
+            t,
+        )
+    # ordinals: 3rd -> third
+    t = re.sub(r"\b(\d+)(st|nd|rd|th)\b",
+               lambda m: ordinal_to_en(int(m.group(1))), t)
+    # fractions: 3/4 -> three fourths, 1/2 -> one half
+    def _frac(m):
+        nu, de = int(m.group(1)), int(m.group(2))
+        if de == 2:
+            unit = "half" if nu == 1 else "halves"
+        elif de == 4:
+            unit = "quarter" if nu == 1 else "quarters"
+        else:
+            unit = ordinal_to_en(de) + ("" if nu == 1 else "s")
+        return num_to_en(nu) + " " + unit
+    t = re.sub(r"\b(\d{1,3})/(\d{1,3})\b", _frac, t)
+    # ranges: 3-5 -> three to five (digits on both sides only)
+    t = re.sub(r"\b(\d{1,4})\s?[-–~]\s?(\d{1,4})\b(?![-.\d])",
+               lambda m: num_to_en(int(m.group(1))) + " to " + num_to_en(int(m.group(2))), t)
+    # digit-letter boundary for anything the rules above didn't claim: 5s -> 5 s
+    t = re.sub(r"(\d)([a-zA-Z])", r"\1 \2", t)
     t = re.sub(r"\d+(?:\.\d+)?", _en_number_token, t)
     return t
 
@@ -155,13 +232,65 @@ def _zh_number_token(m: re.Match) -> str:
     return num_to_zh(int(s))
 
 
+_PHONE_DIGITS_ZH = "零幺二三四五六七八九"  # phones read 1 as 幺
+
+_MEASURES_ZH = [
+    ("km/h", "公里每小时"),
+    ("kg", "千克"),
+    ("km", "公里"),
+    ("cm", "厘米"),
+    ("mm", "毫米"),
+    ("°C", "摄氏度"),
+    ("℃", "摄氏度"),
+]
+
+
+def phone_to_zh(s: str) -> str:
+    return "".join(_PHONE_DIGITS_ZH[int(c)] if c.isdigit() else "" for c in s)
+
+
 def normalize_zh(text: str) -> str:
     t = text
+    # unary minus: "-3" -> 负三 (hyphen directly before a digit, not a range)
+    t = re.sub(r"(?<![A-Za-z\d.])-(?=\d)", "负", t)
+    # phone numbers: digit-wise with 幺 for 1
+    t = re.sub(r"\d{3,4}-\d{3,4}-\d{4}", lambda m: phone_to_zh(m.group(0)), t)
+    t = re.sub(r"(?<!\d)1[3-9]\d{9}(?!\d)", lambda m: phone_to_zh(m.group(0)), t)
+    # dates: 2030/1/2 -> 二零三零年一月二日
+    t = re.sub(
+        r"(\d{4})/(\d{1,2})/(\d{1,2})",
+        lambda m: digits_to_zh(m.group(1)) + "年" + num_to_zh(int(m.group(2)))
+        + "月" + num_to_zh(int(m.group(3))) + "日",
+        t,
+    )
     t = re.sub(r"(\d{4})年", lambda m: digits_to_zh(m.group(1)) + "年", t)
     t = re.sub(r"(\d{1,2})月(\d{1,2})日", lambda m: num_to_zh(int(m.group(1))) + "月" + num_to_zh(int(m.group(2))) + "日", t)
     t = re.sub(r"(\d{1,2}):(\d{2})", lambda m: num_to_zh(int(m.group(1))) + "点" + (num_to_zh(int(m.group(2))) + "分" if m.group(2) != "00" else ""), t)
     t = re.sub(r"(\d+(?:\.\d+)?)\s?%", lambda m: "百分之" + _zh_number_token(re.match(r"\d+(?:\.\d+)?", m.group(1))), t)
     t = re.sub(r"¥\s?(\d+(?:\.\d+)?)", lambda m: _zh_number_token(re.match(r"\d+(?:\.\d+)?", m.group(1))) + "元", t)
+    # measures: 10km/h -> 十公里每小时
+    for sym, word in _MEASURES_ZH:
+        t = re.sub(
+            r"(\d+(?:\.\d+)?)\s?" + re.escape(sym) + r"(?![a-zA-Z])",
+            lambda m, word=word: _zh_number_token(
+                re.match(r"\d+(?:\.\d+)?", m.group(1))
+            ) + word,
+            t,
+        )
+    # fractions: 3/4 -> 四分之三
+    t = re.sub(
+        r"(?<![\d./])(\d{1,3})/(\d{1,3})(?![\d./])",
+        lambda m: num_to_zh(int(m.group(2))) + "分之" + num_to_zh(int(m.group(1))),
+        t,
+    )
+    # ranges: 3~5 / 3-5 -> 三到五
+    t = re.sub(
+        r"(?<![\d.-])(\d{1,4})\s?[-~～]\s?(\d{1,4})(?![\d.-])",
+        lambda m: num_to_zh(int(m.group(1))) + "到" + num_to_zh(int(m.group(2))),
+        t,
+    )
+    # trailing plus: 3000+ -> 三千多
+    t = re.sub(r"(\d+)\s?\+", lambda m: _zh_number_token(re.match(r"\d+", m.group(1))) + "多", t)
     t = re.sub(r"\d+(?:\.\d+)?", _zh_number_token, t)
     return t
 
