@@ -16,9 +16,26 @@ transformers SeamlessM4TFeatureExtractor in tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+def _native_enabled() -> bool:
+    return os.environ.get("INDEXTTS_NATIVE_DSP", "1") != "0"
+
+
+def _fbank_dispatch(waveform: np.ndarray, **kw) -> np.ndarray:
+    """Route fbank through the native C++ library (csrc/dsp.cpp) when it is
+    built and enabled; numpy otherwise. Native matches numpy to 1e-4
+    (tests/test_native.py) so consumers see identical features either way."""
+    if _native_enabled():
+        from indextts_tpu.utils import native
+
+        if native.available():
+            return native.kaldi_fbank(np.asarray(waveform, np.float32), **kw)
+    return kaldi_fbank_core(waveform, **kw)
 
 
 def povey_window(length: int) -> np.ndarray:
@@ -109,7 +126,7 @@ def seamless_features(
 
     Returns (input_features (1, T//2, 160), attention_mask (1, T//2))."""
     wav = np.squeeze(np.asarray(waveform_16k, dtype=np.float32)) * (2 ** 15)
-    feats = kaldi_fbank_core(wav)
+    feats = _fbank_dispatch(wav)
     # per-mel-bin zero-mean unit-var (ddof=1)
     feats = (feats - feats.mean(0, keepdims=True)) / np.sqrt(
         feats.var(0, ddof=1, keepdims=True) + 1e-7
@@ -132,4 +149,4 @@ def campplus_fbank(waveform_16k: np.ndarray) -> np.ndarray:
     mean subtraction applied by the caller. Returns (frames, 80)."""
     wav = np.squeeze(np.asarray(waveform_16k, dtype=np.float64))
     # torchaudio kaldi uses energy_floor eps; log-mel floor is tiny
-    return kaldi_fbank_core(wav, mel_floor=1.1920928955078125e-07)
+    return _fbank_dispatch(wav, mel_floor=1.1920928955078125e-07)

@@ -6,6 +6,7 @@ Replaces the reference's librosa.load / torchaudio Resample / torchaudio.save
 from __future__ import annotations
 
 import io
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -35,6 +36,14 @@ def load_wav(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, in
 def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     if sr_in == sr_out:
         return x
+    # native polyphase resampler is opt-in: its FIR design differs from
+    # scipy's by up to ~5e-3 (tests/test_native.py), so the default path stays
+    # bit-stable vs the parity suites
+    if os.environ.get("INDEXTTS_NATIVE_DSP") == "all":
+        from indextts_tpu.utils import native
+
+        if native.available():
+            return native.resample(x, sr_in, sr_out)
     g = np.gcd(sr_in, sr_out)
     return resample_poly(x, sr_out // g, sr_in // g).astype(np.float32)
 
@@ -69,6 +78,13 @@ def pcm16_bytes(waveform: np.ndarray) -> bytes:
     w = np.asarray(waveform)
     if w.dtype != np.int16:
         if np.abs(w).max() <= 1.5:
+            if os.environ.get("INDEXTTS_NATIVE_DSP", "1") != "0":
+                from indextts_tpu.utils import native
+
+                if native.available():
+                    return native.float_to_pcm16(
+                        np.asarray(w, np.float32)
+                    ).tobytes()
             w = np.clip(w * 32767.0, -32767, 32767)
         w = w.astype(np.int16)
     return w.tobytes()

@@ -45,3 +45,29 @@ def test_native_pcm16(lib):
     out = native.float_to_pcm16(x)
     assert out[0] == 0
     assert out[3] == 32767 and out[4] == -32767
+
+
+def test_fbank_dispatch_native_matches_numpy(lib, rng, monkeypatch):
+    """The product path (seamless_features/campplus_fbank) routes through the
+    native fbank; outputs must match the numpy-only path to 1e-4."""
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    monkeypatch.setenv("INDEXTTS_NATIVE_DSP", "1")
+    f_native, m1 = F.seamless_features(wav)
+    c_native = F.campplus_fbank(wav)
+    monkeypatch.setenv("INDEXTTS_NATIVE_DSP", "0")
+    f_np, m2 = F.seamless_features(wav)
+    c_np = F.campplus_fbank(wav)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_allclose(f_native, f_np, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(c_native, c_np, atol=2e-4, rtol=1e-3)
+
+
+def test_pcm16_bytes_native_matches_numpy(lib, monkeypatch):
+    from indextts_tpu.utils.audio import pcm16_bytes
+
+    x = np.linspace(-1.2, 1.2, 1000).astype(np.float32)
+    monkeypatch.setenv("INDEXTTS_NATIVE_DSP", "1")
+    got = np.frombuffer(pcm16_bytes(x), np.int16)
+    monkeypatch.setenv("INDEXTTS_NATIVE_DSP", "0")
+    want = np.frombuffer(pcm16_bytes(x), np.int16)
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
