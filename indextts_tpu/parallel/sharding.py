@@ -66,15 +66,20 @@ def spec_for_path(path: str, rules) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh, rules) -> Any:
-    """Place a param tree on the mesh according to the rules."""
+def shard_params(params, mesh: Mesh, rules, strict: bool = False) -> Any:
+    """Place a param tree on the mesh according to the rules.
+
+    A rule whose axis does not divide evenly is replicated instead; with
+    strict=True that is an error (used by the multi-chip dryrun so
+    flagship-dim divisibility problems surface instead of silently
+    degrading to replication)."""
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     out = []
+    dropped = []
     for path, leaf in flat:
         pstr = jax.tree_util.keystr(path, simple=True, separator="/")
         spec = spec_for_path(pstr, rules)
-        # drop specs that do not divide the axis evenly
         fixed = []
         for axis_idx, name in enumerate(spec):
             if name is None:
@@ -85,8 +90,17 @@ def shard_params(params, mesh: Mesh, rules) -> Any:
                 fixed.append(name)
             else:
                 fixed.append(None)
+                dropped.append(
+                    f"{pstr}: shape {leaf.shape} axis {axis_idx} !% "
+                    f"{name}={size}"
+                )
         sharding = NamedSharding(mesh, P(*fixed) if fixed else P())
         out.append(jax.device_put(leaf, sharding))
+    if dropped and strict:
+        raise ValueError(
+            "partition rules dropped (axis not divisible by mesh):\n  "
+            + "\n  ".join(dropped)
+        )
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

@@ -24,6 +24,26 @@ def main(argv=None):
                    help="default speaker prompt wav")
     args = p.parse_args(argv)
 
+    # persistent XLA compile cache, keyed under the model dir so different
+    # checkpoints don't collide (reference: serve_tars.py:143-199 persists its
+    # torch.compile cache the same way). On the axon-tunneled TPU cross-process
+    # hits are backend-dependent; the cache is still correct and costs nothing.
+    import hashlib
+    import os
+
+    import jax
+
+    cache_key = hashlib.sha256((args.model_dir or "random").encode()).hexdigest()[:12]
+    cache_dir = os.environ.get(
+        "JAX_COMPILE_CACHE", f"/tmp/indextts_tpu_jax_cache_{cache_key}"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        print(f">> compile cache unavailable: {e}", file=sys.stderr)
+
     from indextts_tpu.config import load_config
     from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
     from indextts_tpu.runtime.server import ServerSettings, TTSServer
