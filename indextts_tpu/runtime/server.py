@@ -123,11 +123,20 @@ class TTSServer:
             if req is None:
                 return
             method, path, headers, body = req
-            if method == "GET" and path in ("/", "/ui"):
-                from indextts_tpu.runtime.webui import UI_HTML
+            if method == "GET" and (
+                path in ("/", "/ui") or path.startswith("/ui?")
+            ):
+                from indextts_tpu.runtime.webui import render_ui
 
+                lang = None
+                if "?" in path:
+                    from urllib.parse import parse_qs
+
+                    lang = parse_qs(path.partition("?")[2]).get("lang", [None])[0]
                 writer.write(
-                    _http_response(200, UI_HTML.encode(), "text/html; charset=utf-8")
+                    _http_response(
+                        200, render_ui(lang).encode(), "text/html; charset=utf-8"
+                    )
                 )
             elif method == "GET" and path == "/healthz":
                 writer.write(_http_response(200, b'{"status":"ok"}'))

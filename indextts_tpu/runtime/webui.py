@@ -7,6 +7,23 @@ modes (none / reference audio / 8-dim vector sliders / text), emo alpha, and
 advanced sampling params.
 """
 
+def render_ui(lang=None) -> str:
+    """Localized UI page (parity: tools/i18n applied to webui.py labels).
+
+    Only text enclosed by tags (`>label<`) is substituted, so element ids and
+    JS identifiers can never be mangled by a translation."""
+    from indextts_tpu.utils.i18n import LOCALES, I18nAuto
+
+    i18n = I18nAuto(lang)
+    html = UI_HTML
+    keys = set()
+    for m in LOCALES.values():
+        keys.update(m)
+    for key in sorted(keys, key=len, reverse=True):
+        html = html.replace(f">{key}<", f">{i18n(key)}<")
+    return html
+
+
 UI_HTML = """<!DOCTYPE html>
 <html>
 <head>
