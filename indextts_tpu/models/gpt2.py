@@ -28,6 +28,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 NEG_INF = -1e9
+# bucketed decode attention: prefix granularity (128-lane-aligned; 6 branches
+# at the flagship cap)
+_BUCKET_BK = 256
 
 
 def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
@@ -97,7 +100,7 @@ class GPT2Attention(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantize: bool = False
-    attn_impl: str = "xla"  # "xla" | "pallas_ragged" (decode path only)
+    attn_impl: str = "xla"  # "xla" | "xla_bucketed" | "pallas_ragged" (decode)
 
     @nn.compact
     def __call__(
@@ -154,7 +157,7 @@ class GPT2Attention(nn.Module):
             # kv_cache = full stacked caches (L, B, H, Tmax, Dh); write this
             # step's k/v at (layer_idx, :, :, cache_index) IN PLACE — never
             # rebuild the stack (that would copy the whole cache every step)
-            ck, cv, layer_idx = kv_cache
+            ck, cv, layer_idx, *extra = kv_cache
             ck = jax.lax.dynamic_update_slice(
                 ck, k.astype(ck.dtype)[None], (layer_idx, 0, 0, cache_index, 0)
             )
@@ -163,6 +166,47 @@ class GPT2Attention(nn.Module):
             )
             k, v = ck[layer_idx], cv[layer_idx]
             new_kv = (ck, cv)
+            if self.attn_impl == "xla_bucketed" and extra:
+                # bucketed-prefix decode attention: the AR loop advances all
+                # rows in lockstep, so the valid prefix length is uniform;
+                # lax.switch over static prefix slices reads only
+                # ceil(valid/BK)*BK cache tokens instead of the full cap.
+                # Exactly equal to full-cap attention: every excluded
+                # position carries NEG_INF bias, whose softmax weight is an
+                # exact 0.0 in f32. HBM decode traffic is the throughput
+                # ceiling at B>=8 (the TPU counterpart of the reference's
+                # paged flash decode, accel/attention.py:129-153).
+                (bucket_idx,) = extra
+                cap = k.shape[2]
+                BK = _BUCKET_BK
+                nbr = -(-cap // BK)
+                scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, dtype=jnp.float32))
+
+                def mk(m):
+                    S_m = min((m + 1) * BK, cap)
+
+                    def br(q, k, v, bias):
+                        ks_ = jax.lax.slice_in_dim(k, 0, S_m, axis=2)
+                        vs_ = jax.lax.slice_in_dim(v, 0, S_m, axis=2)
+                        bs_ = jax.lax.slice_in_dim(bias, 0, S_m, axis=3)
+                        s = (
+                            jnp.einsum("bhtd,bhsd->bhts", q, ks_).astype(
+                                jnp.float32
+                            )
+                            * scale
+                            + bs_
+                        )
+                        p = jax.nn.softmax(s, axis=-1).astype(vs_.dtype)
+                        return jnp.einsum("bhts,bhsd->bhtd", p, vs_)
+
+                    return br
+
+                ctx = jax.lax.switch(
+                    bucket_idx, [mk(m) for m in range(nbr)], q, k, v, attn_bias
+                )
+                ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
+                out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+                return out, new_kv
         else:
             new_kv = (k, v)
 
@@ -277,18 +321,33 @@ class GPT2Core(nn.Module):
                 )
             new_kv = (ks, vs)
         else:
-            # decode: attend to cache positions < kv_valid_len (+ current)
+            # decode: attend to cache positions < kv_valid_len (+ current).
+            # T > 1 is a chunked continuation prefill (prefix-KV reuse): query
+            # t of the chunk sees keys < kv_valid_len - (T-1-t), i.e. causal
+            # within the chunk, everything before it unconditionally.
             ks, vs = kv_caches
             Tmax = ks.shape[3]
             pos = jnp.arange(Tmax)
-            valid = pos[None, :] < kv_valid_len[:, None]  # (B, Tmax)
+            thr = kv_valid_len[:, None] - (T - 1) + jnp.arange(T)[None, :]
+            valid = pos[None, None, :] < thr[:, :, None]  # (B, T, Tmax)
             if attention_mask is not None:
-                valid = jnp.logical_and(valid, attention_mask.astype(bool))
-            bias = jnp.where(valid[:, None, None, :], 0.0, NEG_INF)
+                valid = jnp.logical_and(
+                    valid, attention_mask.astype(bool)[:, None, :]
+                )
+            bias = jnp.where(valid[:, None], 0.0, NEG_INF)
+            extra = ()
+            if self.attn_impl == "xla_bucketed":
+                nbr = -(-Tmax // _BUCKET_BK)
+                n = jnp.max(kv_valid_len)
+                bucket_idx = jnp.clip(
+                    (n + _BUCKET_BK - 1) // _BUCKET_BK - 1, 0, nbr - 1
+                )
+                extra = (bucket_idx,)
             for i in range(self.n_layer):
                 x, (ks, vs) = GPT2Block(
-                    self.n_head, self.dtype, self.quantize, name=f"h_{i}"
-                )(x, bias, kv_cache=(ks, vs, i), cache_index=cache_index)
+                    self.n_head, self.dtype, self.quantize, self.attn_impl,
+                    name=f"h_{i}",
+                )(x, bias, kv_cache=(ks, vs, i) + extra, cache_index=cache_index)
             new_kv = (ks, vs)
 
         x = nn.LayerNorm(epsilon=1e-5, name="ln_f", dtype=self.dtype)(x)

@@ -135,6 +135,7 @@ class GPTDecoder:
             jax.jit,
             static_argnames=("max_new",),
         )(self._generate)
+        self._cond_prefill_jit = None
 
     # -- prompt assembly (host side, tiny) ---------------------------------
 
@@ -174,6 +175,7 @@ class GPTDecoder:
         top_p: jnp.ndarray,
         repetition_penalty: jnp.ndarray,
         max_new: int,
+        cond_kv=None,
     ):
         cfg = self.cfg
         model = self.model
@@ -189,14 +191,6 @@ class GPTDecoder:
             method=UnifiedVoice.embed_text_prompt,
         )
         start_emb = model.apply(params, B, method=UnifiedVoice.embed_mel_start)
-        prompt = jnp.concatenate(
-            [
-                conds_latent.astype(text_emb.dtype),
-                text_emb,
-                start_emb.astype(text_emb.dtype),
-            ],
-            axis=1,
-        )
         # left-pad mask: pads only in the text section
         cond_mask = jnp.ones((B, conds_latent.shape[1]), dtype=bool)
         start_mask = jnp.ones((B, 1), dtype=bool)
@@ -206,38 +200,73 @@ class GPTDecoder:
         # embeddings are zeroed and masked), and no position is assigned to
         # pads in either layout, so logits match the reference exactly.
 
-        S = prompt.shape[1]
+        P = conds_latent.shape[1]
+        tail = jnp.concatenate(
+            [text_emb, start_emb.astype(text_emb.dtype)], axis=1
+        )
+        S = P + tail.shape[1]
         cap = S + max_new
         transposed = getattr(model, "attn_impl", "xla") == "pallas_ragged"
         if transposed:
             # the ragged kernel DMAs 128-multiple token blocks
             cap = ((cap + 127) // 128) * 128
-
-        hidden, (pk, pv) = model.apply(
-            params, prompt, prompt_mask, method=UnifiedVoice.gpt_prefill
-        )
-        L, _, H, _, Dh = pk.shape
-        if transposed:
-            # ragged Pallas kernel layout: token axis on lanes (L,B,H,Dh,cap)
-            ks = jnp.zeros((L, B, H, Dh, cap), pk.dtype)
-            vs = jnp.zeros((L, B, H, Dh, cap), pv.dtype)
-            ks = jax.lax.dynamic_update_slice(
-                ks, pk.transpose(0, 1, 2, 4, 3), (0, 0, 0, 0, 0)
-            )
-            vs = jax.lax.dynamic_update_slice(
-                vs, pv.transpose(0, 1, 2, 4, 3), (0, 0, 0, 0, 0)
-            )
-        else:
-            ks = jnp.zeros((L, B, H, cap, Dh), pk.dtype)
-            vs = jnp.zeros((L, B, H, cap, Dh), pv.dtype)
-            ks = jax.lax.dynamic_update_slice(ks, pk, (0, 0, 0, 0, 0))
-            vs = jax.lax.dynamic_update_slice(vs, pv, (0, 0, 0, 0, 0))
         cap_mask = jnp.concatenate(
             [prompt_mask, jnp.ones((B, max_new), dtype=bool)], axis=1
         )
 
+        if cond_kv is None:
+            prompt = jnp.concatenate(
+                [conds_latent.astype(text_emb.dtype), tail], axis=1
+            )
+            hidden, (pk, pv) = model.apply(
+                params, prompt, prompt_mask, method=UnifiedVoice.gpt_prefill
+            )
+            L, _, H, _, Dh = pk.shape
+            if transposed:
+                # ragged kernel layout: token axis on lanes (L,B,H,Dh,cap)
+                ks = jnp.zeros((L, B, H, Dh, cap), pk.dtype)
+                vs = jnp.zeros((L, B, H, Dh, cap), pv.dtype)
+                ks = jax.lax.dynamic_update_slice(
+                    ks, pk.transpose(0, 1, 2, 4, 3), (0, 0, 0, 0, 0)
+                )
+                vs = jax.lax.dynamic_update_slice(
+                    vs, pv.transpose(0, 1, 2, 4, 3), (0, 0, 0, 0, 0)
+                )
+            else:
+                ks = jnp.zeros((L, B, H, cap, Dh), pk.dtype)
+                vs = jnp.zeros((L, B, H, cap, Dh), pv.dtype)
+                ks = jax.lax.dynamic_update_slice(ks, pk, (0, 0, 0, 0, 0))
+                vs = jax.lax.dynamic_update_slice(vs, pv, (0, 0, 0, 0, 0))
+            last_hidden = hidden[:, -1]
+        else:
+            # prefix-KV reuse (reference: accel/kv_manager.py:106-198 chained-
+            # hash block reuse): the conds section's KV depends only on the
+            # conds latents (causal prefix), so a per-speaker cached (ck0,cv0)
+            # replaces its prefill; only the text tail is chunk-prefilled.
+            ck0, cv0 = cond_kv
+            assert ck0.shape[3] == P, (ck0.shape, P)
+            L, _, H, _, Dh = ck0.shape
+            ks = jnp.zeros((L, B, H, cap, Dh), ck0.dtype)
+            vs = jnp.zeros((L, B, H, cap, Dh), cv0.dtype)
+            ks = jax.lax.dynamic_update_slice(
+                ks, jnp.broadcast_to(ck0, (L, B, H, P, Dh)), (0, 0, 0, 0, 0)
+            )
+            vs = jax.lax.dynamic_update_slice(
+                vs, jnp.broadcast_to(cv0, (L, B, H, P, Dh)), (0, 0, 0, 0, 0)
+            )
+            hidden, (ks, vs) = model.apply(
+                params,
+                tail,
+                (ks, vs),
+                P,
+                jnp.full((B,), S, jnp.int32),
+                cap_mask,
+                method=UnifiedVoice.gpt_decode_step,
+            )
+            last_hidden = hidden[:, -1]
+
         last_logits = model.apply(
-            params, hidden[:, -1], method=UnifiedVoice.mel_logits_from_hidden
+            params, last_hidden, method=UnifiedVoice.mel_logits_from_hidden
         )
 
         penal_mask = jnp.zeros((B, V), dtype=bool)
@@ -550,6 +579,32 @@ class GPTDecoder:
         )
         return GenerateResult(codes=codes, lengths=lengths)
 
+    def cond_prefill(self, params, conds_latent) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Prefill the conds-only prefix and return its KV (L, B, H, P, Dh).
+
+        The conds section is the causal prefix of every prompt, so its KV
+        depends only on the conds latents — cache the result per speaker and
+        pass it to generate(cond_kv=...) to skip its prefill (the TPU analog
+        of the reference's cross-request prefix reuse,
+        accel/kv_manager.py:106-198).
+
+        Numerics: greedy decode is bit-identical to the monolithic prefill
+        (tests/test_prefix_kv.py); sampled decode is identically distributed
+        but may diverge at exact probability ties, because the chunked
+        continuation is a different XLA fusion whose logits can differ in the
+        last ulp. Each path is individually seed-deterministic."""
+        if self._cond_prefill_jit is None:
+            def f(params, conds_latent):
+                mask = jnp.ones(conds_latent.shape[:2], dtype=bool)
+                _, (pk, pv) = self.model.apply(
+                    params, conds_latent.astype(self.model.dtype), mask,
+                    method=UnifiedVoice.gpt_prefill,
+                )
+                return pk, pv
+
+            self._cond_prefill_jit = jax.jit(f)
+        return self._cond_prefill_jit(params, conds_latent)
+
     def generate(
         self,
         params,
@@ -562,7 +617,12 @@ class GPTDecoder:
         temperature: float = 0.8,
         top_p: float = 0.8,
         repetition_penalty: float = 10.0,
+        cond_kv=None,
     ) -> GenerateResult:
+        if cond_kv is not None:
+            assert getattr(self.model, "attn_impl", "xla") != "pallas_ragged", (
+                "prefix-KV reuse is implemented for the standard cache layout"
+            )
         codes, lengths = self._generate_jit(
             params,
             conds_latent,
@@ -574,5 +634,6 @@ class GPTDecoder:
             jnp.asarray(top_p, jnp.float32),
             jnp.asarray(repetition_penalty, jnp.float32),
             max_new=max_new,
+            cond_kv=cond_kv,
         )
         return GenerateResult(codes=codes, lengths=lengths)

@@ -153,6 +153,9 @@ class IndexTTS2Engine:
             SamplingConfig(do_sample=cfg.runtime.do_sample, top_k=cfg.runtime.top_k),
         )
         self._spk_cache: Dict[str, SpeakerConditioning] = {}
+        # prefix-KV reuse: conds-section KV per (speaker, emotion) key
+        # (reference: accel/kv_manager.py:106-198 cross-request block reuse)
+        self._cond_kv_cache: Dict[tuple, tuple] = {}
         self._emo_cache: Dict[str, EmotionConditioning] = {}
         self._rng = jax.random.PRNGKey(0)
 
@@ -393,6 +396,7 @@ class IndexTTS2Engine:
         num_beams: Optional[int] = None,
         do_sample: Optional[bool] = None,
         length_penalty: Optional[float] = None,
+        cond_kv_key: Optional[tuple] = None,
     ) -> SegmentResult:
         rt = self.cfg.runtime
         max_new = max_mel_tokens or rt.max_mel_tokens
@@ -457,6 +461,16 @@ class IndexTTS2Engine:
                 top_p=tp,
             )
         else:
+            cond_kv = None
+            if cond_kv_key is not None:
+                cond_kv = self._cond_kv_cache.get(cond_kv_key)
+                if cond_kv is None:
+                    cond_kv = self.decoder.cond_prefill(
+                        {"params": self.p_gpt}, conds
+                    )
+                    if len(self._cond_kv_cache) >= 8:  # bounded (serving)
+                        self._cond_kv_cache.pop(next(iter(self._cond_kv_cache)))
+                    self._cond_kv_cache[cond_kv_key] = cond_kv
             res = self.decoder.generate(
                 {"params": self.p_gpt},
                 conds,
@@ -468,6 +482,7 @@ class IndexTTS2Engine:
                 temperature=temp,
                 top_p=tp,
                 repetition_penalty=rt.repetition_penalty,
+                cond_kv=cond_kv,
             )
         codes_np = np.asarray(res.codes)
         n_codes = int(np.asarray(res.lengths)[0])
@@ -820,19 +835,34 @@ class IndexTTS2Engine:
         if isinstance(spk_audio, str):
             audio, sr = audio_utils.load_wav(spk_audio)
             spk = self.prepare_speaker(audio, sr, cache_key=spk_audio)
+            spk_key = spk_audio
         else:
             spk = self.prepare_speaker(*spk_audio)
+            spk_key = None
 
         if emo_vector is not None:
             emo_audio = None  # vector mode overrides audio (infer_v2.py:586-589)
         if emo_audio is None:
             emo = EmotionConditioning(spk.spk_cond_emb, spk.cond_len)
             emo_alpha = 1.0
+            emo_key = ""
         elif isinstance(emo_audio, str):
             audio, sr = audio_utils.load_wav(emo_audio)
             emo = self.prepare_emotion(audio, sr, cache_key=emo_audio)
+            emo_key = emo_audio
         else:
             emo = self.prepare_emotion(*emo_audio)
+            emo_key = None
+
+        # prefix-KV reuse only when both conditionings are keyable (file-path
+        # inputs, i.e. the serving deployment's fixed-speaker case); a random
+        # emo_vector draw (use_random) is never reusable
+        cond_kv_key = None
+        if spk_key is not None and emo_key is not None and not use_random:
+            cond_kv_key = (
+                spk_key, emo_key, float(emo_alpha),
+                tuple(emo_vector) if emo_vector is not None else None,
+            )
 
         wavs = []
         stats = []
@@ -852,6 +882,7 @@ class IndexTTS2Engine:
                     emo_vector=emo_vector,
                     use_random=use_random,
                     seed=None if seed is None else seed + i,
+                    cond_kv_key=cond_kv_key,
                     **gen_kwargs,
                 )
                 wavs.append(r.wav)

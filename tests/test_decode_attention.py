@@ -194,3 +194,91 @@ def test_ragged_decode_attention_blocked_hole(rng):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_decode_loop_xla_bucketed_matches_xla(rng):
+    """attn_impl=xla_bucketed (lax.switch over static prefix slices) is
+    token-identical to the full-cap XLA decode path: every excluded position
+    carried NEG_INF bias whose softmax weight is an exact 0.0."""
+    import jax
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.models.unified_voice import UnifiedVoice
+    from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+
+    cfg = GPTConfig(
+        model_dim=64, layers=2, heads=4, max_mel_tokens=64, max_text_tokens=32,
+        number_text_tokens=50, number_mel_codes=36, start_mel_token=34,
+        stop_mel_token=35,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=4, num_blocks=1
+        ),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=32, attention_heads=2, num_blocks=1
+        ),
+    )
+    base = UnifiedVoice(cfg)
+    params = base.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64)), jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
+        jnp.zeros((1, 6), jnp.int32), jnp.asarray([6]), jnp.zeros((1, 64)),
+        method=UnifiedVoice.forward_latent,
+    )["params"]
+    ph = base.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64)),
+        method=UnifiedVoice.mel_logits_from_hidden,
+    )["params"]
+    for k2, v2 in ph.items():
+        params.setdefault(k2, v2)
+    params = {"params": params}
+
+    B = 2
+    conds = jnp.asarray(rng.standard_normal((B, 34, 64)), jnp.float32)
+    text = rng.integers(2, 50, (B, 9))
+    lens = np.array([9, 5])
+    # sampled decode so the bucketed path also covers the stochastic chain
+    sc = SamplingConfig(do_sample=True)
+
+    dec_x = GPTDecoder(UnifiedVoice(cfg), cfg, sc)
+    ids, pos, valid = dec_x.build_text_prompt_arrays(text, lens, 9)
+    want = dec_x.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        jax.random.PRNGKey(5), max_new=12,
+    )
+
+    dec_b = GPTDecoder(UnifiedVoice(cfg, attn_impl="xla_bucketed"), cfg, sc)
+    got = dec_b.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        jax.random.PRNGKey(5), max_new=12,
+    )
+    np.testing.assert_array_equal(np.asarray(got.codes), np.asarray(want.codes))
+    np.testing.assert_array_equal(
+        np.asarray(got.lengths), np.asarray(want.lengths)
+    )
+
+
+def test_gpt2core_bucketed_step_multi_branch(rng):
+    """Step-level check across bucket boundaries (cap 640 -> 3 branches of
+    256): bucketed decode step equals full-cap step at valid lengths falling
+    in different buckets, including exact multiples of the bucket size."""
+    import jax
+    from indextts_tpu.models.gpt2 import GPT2Core, init_kv_cache
+
+    L_, B, H, Dh, cap = 2, 2, 4, 16, 640
+    D = H * Dh
+    core_x = GPT2Core(L_, H)
+    core_b = GPT2Core(L_, H, attn_impl="xla_bucketed")
+    x0 = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    ks, vs = init_kv_cache(L_, B, H, cap, Dh)
+    ks = jnp.asarray(rng.standard_normal(ks.shape), jnp.float32) * 0.3
+    vs = jnp.asarray(rng.standard_normal(vs.shape), jnp.float32) * 0.3
+    params = core_x.init(
+        jax.random.PRNGKey(0), x0, None, (ks, vs), jnp.asarray(0),
+        jnp.full((B,), 1, jnp.int32),
+    )
+    mask = jnp.ones((B, cap), bool).at[0, 3:7].set(False)  # a left-pad hole
+    for n in (5, 255, 256, 257, 511, 639):
+        idx = jnp.asarray(n, jnp.int32)
+        vl = jnp.full((B,), n + 1, jnp.int32)
+        out_x, _ = core_x.apply(params, x0, mask, (ks, vs), idx, vl)
+        out_b, _ = core_b.apply(params, x0, mask, (ks, vs), idx, vl)
+        np.testing.assert_array_equal(np.asarray(out_x), np.asarray(out_b))

@@ -1,0 +1,124 @@
+"""Prefix-KV reuse: cached cond KV + chunked continuation prefill produce
+token-identical decode vs monolithic prefill (reference analog:
+accel/kv_manager.py:106-198 cross-request block reuse)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+from indextts_tpu.models.unified_voice import UnifiedVoice
+from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+
+CFG = GPTConfig(
+    model_dim=64, layers=2, heads=4, max_mel_tokens=64, max_text_tokens=32,
+    number_text_tokens=50, number_mel_codes=36, start_mel_token=34,
+    stop_mel_token=35,
+    condition_module=ConditionModuleConfig(
+        output_size=32, linear_units=48, attention_heads=4, num_blocks=1
+    ),
+    emo_condition_module=ConditionModuleConfig(
+        output_size=32, linear_units=32, attention_heads=2, num_blocks=1
+    ),
+)
+
+
+def _params(model, B):
+    p = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, 32, 64)), jnp.zeros((B, 4), jnp.int32), jnp.full((B,), 4),
+        jnp.zeros((B, 6), jnp.int32), jnp.full((B,), 6), jnp.zeros((B, 64)),
+        method=UnifiedVoice.forward_latent,
+    )["params"]
+    ph = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((B, 64)),
+        method=UnifiedVoice.mel_logits_from_hidden,
+    )["params"]
+    for k, v in ph.items():
+        p.setdefault(k, v)
+    return {"params": p}
+
+
+@pytest.mark.parametrize("attn_impl", ["xla", "xla_bucketed"])
+@pytest.mark.parametrize("do_sample", [False, True])
+def test_cond_kv_decode_matches_monolithic(rng, attn_impl, do_sample):
+    model = UnifiedVoice(CFG, attn_impl=attn_impl)
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=do_sample))
+    B, Lt, max_new = 2, 9, 12
+    params = _params(model, B)
+    conds = jnp.asarray(rng.standard_normal((B, 34, 64)), jnp.float32)
+    text = rng.integers(2, 50, (B, Lt))
+    lens = np.array([Lt, 5])  # one left-padded row
+    ids, pos, valid = dec.build_text_prompt_arrays(text, lens, Lt)
+    key = jax.random.PRNGKey(11)
+
+    want = dec.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        key, max_new=max_new,
+    )
+    cond_kv = dec.cond_prefill(params, conds)
+    assert cond_kv[0].shape[3] == 34
+    got = dec.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        key, max_new=max_new, cond_kv=cond_kv,
+    )
+    np.testing.assert_array_equal(np.asarray(got.codes), np.asarray(want.codes))
+    np.testing.assert_array_equal(
+        np.asarray(got.lengths), np.asarray(want.lengths)
+    )
+
+
+def test_cond_kv_broadcast_from_single_speaker(rng):
+    """A B=1 cached cond KV drives a B>1 batch via broadcast."""
+    model = UnifiedVoice(CFG)
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
+    B, Lt, max_new = 3, 7, 8
+    params = _params(model, B)
+    conds1 = jnp.asarray(rng.standard_normal((1, 34, 64)), jnp.float32)
+    conds = jnp.broadcast_to(conds1, (B, 34, 64))
+    text = rng.integers(2, 50, (B, Lt))
+    ids, pos, valid = dec.build_text_prompt_arrays(text, np.full(B, Lt), Lt)
+    key = jax.random.PRNGKey(2)
+    want = dec.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        key, max_new=max_new,
+    )
+    cond_kv = dec.cond_prefill(params, conds1)  # B=1 cache
+    got = dec.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        key, max_new=max_new, cond_kv=cond_kv,
+    )
+    np.testing.assert_array_equal(np.asarray(got.codes), np.asarray(want.codes))
+
+
+def test_engine_cond_kv_cache_population(tmp_path):
+    """engine.infer with file-path speaker populates the cond-KV cache and
+    produces identical audio on the cached second call."""
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_engine_e2e import tiny_config
+
+    from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+    from indextts_tpu.utils.audio import save_wav
+
+    cfg = tiny_config()
+    engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    wav_path = str(tmp_path / "spk.wav")
+    save_wav(
+        wav_path,
+        (np.random.default_rng(3).standard_normal(16000) * 0.1).astype(np.float32),
+        16000,
+    )
+    seg = [np.random.default_rng(4).integers(2, 50, 7)]
+    out1 = engine.infer(wav_path, seg, seed=0, do_sample=True, num_beams=1)
+    assert len(engine._cond_kv_cache) == 1
+    out2 = engine.infer(wav_path, seg, seed=0, do_sample=True, num_beams=1)
+    assert len(engine._cond_kv_cache) == 1  # reused, not regrown
+    np.testing.assert_array_equal(out1["audio"], out2["audio"])
