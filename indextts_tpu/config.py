@@ -319,6 +319,10 @@ class RuntimeConfig:
     remove_long_silence: bool = True
     # compute dtype for the GPT decode loop ("bfloat16" | "float32")
     gpt_dtype: str = "bfloat16"
+    # decode attention implementation: "xla" (full-cap), "xla_bucketed"
+    # (prefix-bucketed lax.switch; token-identical, less HBM traffic),
+    # "pallas_ragged" (ragged kernel, transposed caches)
+    attn_impl: str = "xla"
     # static decode-loop bucket sizes (text prompt padded to one of these)
     text_buckets: Tuple[int, ...] = (32, 64, 128)
     # KV cache capacity of the jitted decode program

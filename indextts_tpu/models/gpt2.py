@@ -158,12 +158,23 @@ class GPT2Attention(nn.Module):
             # step's k/v at (layer_idx, :, :, cache_index) IN PLACE — never
             # rebuild the stack (that would copy the whole cache every step)
             ck, cv, layer_idx, *extra = kv_cache
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype)[None], (layer_idx, 0, 0, cache_index, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype)[None], (layer_idx, 0, 0, cache_index, 0)
-            )
+            if getattr(cache_index, "ndim", 0) == 1:
+                # per-row write positions (continuous batching: slots decode
+                # at different depths); scatter touches only B*H*Dh elements
+                bidx = jnp.arange(B)
+                ck = ck.at[layer_idx, bidx, :, cache_index, :].set(
+                    k[:, :, 0, :].astype(ck.dtype)
+                )
+                cv = cv.at[layer_idx, bidx, :, cache_index, :].set(
+                    v[:, :, 0, :].astype(cv.dtype)
+                )
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.astype(ck.dtype)[None], (layer_idx, 0, 0, cache_index, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.astype(cv.dtype)[None], (layer_idx, 0, 0, cache_index, 0)
+                )
             k, v = ck[layer_idx], cv[layer_idx]
             new_kv = (ck, cv)
             if self.attn_impl == "xla_bucketed" and extra:

@@ -1,0 +1,182 @@
+"""Continuous batching: cross-request join/leave for the AR decode loop.
+
+N slots decode in lockstep chunks of `chunk_steps`; between chunks the host
+harvests finished slots and admits queued requests (each request's prompt is
+prefilled by its own program and its KV inserted into the slot's cache rows).
+This is the TPU counterpart of the reference accel engine's continuous
+admission (accel/engine.py:154-212): instead of per-token host bookkeeping,
+all per-row state lives on device and the host only intervenes at chunk
+boundaries, so the hot loop never syncs mid-chunk.
+
+Shapes are static: one (n_slots, cap) cache; one text bucket per batcher.
+Requests longer than the bucket are rejected (the engine's segmenter already
+caps segment length).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class _Pending:
+    req_id: int
+    conds: Any          # (1, P, D)
+    text_ids: np.ndarray
+    enqueued_at: float
+
+
+@dataclasses.dataclass
+class CompletedRequest:
+    req_id: int
+    codes: np.ndarray       # (n,) int32 including stop token (if emitted)
+    queued_s: float
+    decode_chunks: int
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        decoder,                    # GPTDecoder
+        params,
+        n_slots: int = 8,
+        text_bucket: int = 64,
+        max_new: int = 600,
+        chunk_steps: int = 32,
+        temperature: float = 0.8,
+        top_p: float = 0.8,
+        repetition_penalty: float = 10.0,
+        seed: int = 0,
+    ):
+        self.dec = decoder
+        self.params = params
+        self.B = n_slots
+        self.bucket = text_bucket
+        self.max_new = max_new
+        self.chunk = chunk_steps
+        cfg = decoder.cfg
+        self.cap = cfg.condition_num_latent + (text_bucket + 2) + 1 + max_new
+        self._queue: List[_Pending] = []
+        self._slot_req: List[Optional[_Pending]] = [None] * n_slots
+        self._slot_chunks = [0] * n_slots
+        self._next_id = 0
+        self.completed: List[CompletedRequest] = []
+
+        L, H, Dh = cfg.layers, cfg.heads, cfg.head_dim
+        dt = decoder.model.dtype
+        self.state: Dict[str, Any] = {
+            "ks": jnp.zeros((L, self.B, H, self.cap, Dh), dt),
+            "vs": jnp.zeros((L, self.B, H, self.cap, Dh), dt),
+            "codes": jnp.zeros((self.B, max_new), jnp.int32),
+            "logits": jnp.zeros((self.B, cfg.number_mel_codes), jnp.float32),
+            "pos": jnp.zeros((self.B,), jnp.int32),
+            "gen_count": jnp.zeros((self.B,), jnp.int32),
+            "finished": jnp.ones((self.B,), bool),
+            "active": jnp.zeros((self.B,), bool),
+            "penal_mask": jnp.zeros((self.B, cfg.number_mel_codes), bool),
+            "cap_mask": jnp.ones((self.B, self.cap), bool),
+            "key": jax.random.PRNGKey(seed),
+            "temperature": jnp.asarray(temperature, jnp.float32),
+            "top_p": jnp.asarray(top_p, jnp.float32),
+            "rep_penalty": jnp.asarray(repetition_penalty, jnp.float32),
+        }
+
+    # -- request intake -----------------------------------------------------
+
+    def submit(self, conds, text_ids: np.ndarray) -> int:
+        """Queue one request (conds (1, P, D) latents, raw text ids)."""
+        if len(text_ids) > self.bucket:
+            raise ValueError(
+                f"text length {len(text_ids)} exceeds bucket {self.bucket}"
+            )
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append(
+            _Pending(rid, conds, np.asarray(text_ids, np.int32), time.perf_counter())
+        )
+        return rid
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _admit(self):
+        st = self.state
+        free = np.flatnonzero(~np.asarray(st["active"]))
+        for slot in free:
+            if not self._queue:
+                break
+            p = self._queue.pop(0)
+            ids, pos, valid = self.dec.build_text_prompt_arrays(
+                p.text_ids[None], np.asarray([len(p.text_ids)]), self.bucket
+            )
+            pk, pv, logits1, mask1, S = self.dec.prefill_request(
+                self.params, p.conds, jnp.asarray(ids), jnp.asarray(pos),
+                jnp.asarray(valid), cap=self.cap,
+            )
+            slot_i = jnp.asarray(int(slot), jnp.int32)
+            st["ks"], st["vs"] = self.dec.insert_slot(
+                st["ks"], st["vs"], pk, pv, slot_i
+            )
+            b = int(slot)
+            st["logits"] = st["logits"].at[b].set(logits1[0])
+            st["cap_mask"] = st["cap_mask"].at[b].set(mask1[0])
+            st["pos"] = st["pos"].at[b].set(S)
+            st["gen_count"] = st["gen_count"].at[b].set(0)
+            st["finished"] = st["finished"].at[b].set(False)
+            st["active"] = st["active"].at[b].set(True)
+            penal_row = jnp.zeros((st["penal_mask"].shape[1],), bool)
+            if (self.dec.sampling.use_repetition_penalty
+                    and self.dec.sampling.hf_fake_prompt_penalty):
+                penal_row = penal_row.at[1].set(True)
+                penal_row = penal_row.at[self.dec.cfg.start_mel_token].set(True)
+            st["penal_mask"] = st["penal_mask"].at[b].set(penal_row)
+            st["codes"] = st["codes"].at[b].set(self.dec.cfg.stop_mel_token)
+            self._slot_req[b] = p
+            self._slot_chunks[b] = 0
+
+    def _harvest(self):
+        st = self.state
+        finished = np.asarray(st["finished"])
+        active = np.asarray(st["active"])
+        codes = None
+        for b in range(self.B):
+            if active[b] and finished[b]:
+                if codes is None:
+                    codes = np.asarray(st["codes"])
+                n = int(np.asarray(st["gen_count"])[b])
+                p = self._slot_req[b]
+                self.completed.append(
+                    CompletedRequest(
+                        req_id=p.req_id,
+                        codes=codes[b, :n].copy(),
+                        queued_s=time.perf_counter() - p.enqueued_at,
+                        decode_chunks=self._slot_chunks[b],
+                    )
+                )
+                st["active"] = st["active"].at[b].set(False)
+                self._slot_req[b] = None
+
+    def run(self, max_chunks: int = 10_000) -> List[CompletedRequest]:
+        """Drain the queue; returns all completed requests."""
+        chunks = 0
+        while (self._queue or any(a is not None for a in self._slot_req)):
+            self._admit()
+            if not any(a is not None for a in self._slot_req):
+                break
+            self.state = self.dec.step_chunk(
+                self.params, self.state, chunk=self.chunk, max_new=self.max_new
+            )
+            for b in range(self.B):
+                if self._slot_req[b] is not None:
+                    self._slot_chunks[b] += 1
+            self._harvest()
+            chunks += 1
+            if chunks >= max_chunks:
+                raise RuntimeError("continuous batcher exceeded max_chunks")
+        return sorted(self.completed, key=lambda c: c.req_id)

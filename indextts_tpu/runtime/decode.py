@@ -562,6 +562,12 @@ class GPTDecoder:
         temperature: float = 1.0,
         top_p: float = 1.0,
     ) -> GenerateResult:
+        """Beam decode for ONE request (B=1; the batch axis carries the nb
+        beams). This matches the reference exactly: its HF beam path also
+        processes one segment at a time (infer_v2.py:761-776 is called per
+        segment with batch 1), and its accel batch engine ignores num_beams
+        entirely (model_v2.py:871-883). Multi-request throughput goes through
+        the batched sampling loop instead."""
         if not hasattr(self, "_beam_jit"):
             self._beam_jit = jax.jit(
                 self._generate_beam,
@@ -578,6 +584,156 @@ class GPTDecoder:
             do_sample=do_sample,
         )
         return GenerateResult(codes=codes, lengths=lengths)
+
+    # -- continuous batching programs ---------------------------------------
+    # Cross-request join/leave: N slots decode in lockstep chunks; between
+    # chunks the host refills finished slots (prefill as its own program, KV
+    # inserted into the slot's rows). The TPU analog of the reference accel
+    # engine's in-flight batching with continuous admission
+    # (accel/engine.py:154-212 bookkeeping; here all bookkeeping is on-device
+    # per-row state and admission happens at chunk boundaries so the hot loop
+    # never syncs with the host).
+
+    def prefill_request(self, params, conds_latent, text_ids, text_pos,
+                        text_valid, cap: int):
+        """Prefill ONE request (B=1). Returns (pk, pv (L,1,H,cap,Dh),
+        last_logits (1,V), cap_mask (1,cap), S)."""
+        if not hasattr(self, "_prefill_req_jit"):
+            self._prefill_req_jit = jax.jit(
+                self._prefill_request, static_argnames=("cap",)
+            )
+        return self._prefill_req_jit(
+            params, conds_latent, text_ids, text_pos, text_valid, cap=cap
+        )
+
+    def _prefill_request(self, params, conds_latent, text_ids, text_pos,
+                         text_valid, cap: int):
+        model = self.model
+        text_emb = model.apply(
+            params, text_ids, text_pos, text_valid,
+            method=UnifiedVoice.embed_text_prompt,
+        )
+        start_emb = model.apply(params, 1, method=UnifiedVoice.embed_mel_start)
+        prompt = jnp.concatenate(
+            [conds_latent.astype(text_emb.dtype), text_emb,
+             start_emb.astype(text_emb.dtype)], axis=1,
+        )
+        prompt_mask = jnp.concatenate(
+            [jnp.ones((1, conds_latent.shape[1]), bool), text_valid,
+             jnp.ones((1, 1), bool)], axis=1,
+        )
+        S = prompt.shape[1]
+        assert S <= cap, (S, cap)
+        hidden, (pk, pv) = model.apply(
+            params, prompt, prompt_mask, method=UnifiedVoice.gpt_prefill
+        )
+        L, _, H, _, Dh = pk.shape
+        ks = jnp.zeros((L, 1, H, cap, Dh), pk.dtype)
+        vs = jnp.zeros((L, 1, H, cap, Dh), pv.dtype)
+        ks = jax.lax.dynamic_update_slice(ks, pk, (0, 0, 0, 0, 0))
+        vs = jax.lax.dynamic_update_slice(vs, pv, (0, 0, 0, 0, 0))
+        cap_mask = jnp.concatenate(
+            [prompt_mask, jnp.ones((1, cap - S), bool)], axis=1
+        )
+        last_logits = model.apply(
+            params, hidden[:, -1], method=UnifiedVoice.mel_logits_from_hidden
+        )
+        return ks, vs, last_logits, cap_mask, S
+
+    def insert_slot(self, ks, vs, pk, pv, slot):
+        """Write a prefilled request's cache rows into batch slot `slot`."""
+        if not hasattr(self, "_insert_jit"):
+            def f(ks, vs, pk, pv, slot):
+                ks = jax.lax.dynamic_update_slice(ks, pk, (0, slot, 0, 0, 0))
+                vs = jax.lax.dynamic_update_slice(vs, pv, (0, slot, 0, 0, 0))
+                return ks, vs
+
+            self._insert_jit = jax.jit(f, donate_argnums=(0, 1))
+        return self._insert_jit(ks, vs, pk, pv, slot)
+
+    def step_chunk(self, params, state, chunk: int, max_new: int):
+        """Advance all slots by up to `chunk` decode steps (early exit when
+        every active slot is finished). `state` is the dict produced by
+        ContinuousBatcher; per-row cache positions differ across slots."""
+        if not hasattr(self, "_chunk_jit"):
+            self._chunk_jit = jax.jit(
+                self._step_chunk,
+                static_argnames=("chunk", "max_new"),
+                donate_argnums=(1,),
+            )
+        return self._chunk_jit(params, state, chunk=chunk, max_new=max_new)
+
+    def _step_chunk(self, params, state, chunk: int, max_new: int):
+        cfg = self.cfg
+        model = self.model
+        s = self.sampling
+        B = state["logits"].shape[0]
+
+        def cond_fn(st):
+            i = st["i"]
+            done = jnp.all(jnp.logical_or(st["finished"], ~st["active"]))
+            return jnp.logical_and(i < chunk, ~done)
+
+        def body_fn(st):
+            key, sub = jax.random.split(st["key"])
+            lg = st["logits"]
+            if s.use_repetition_penalty:
+                lg = _repetition_penalty(
+                    lg, st["penal_mask"], st["rep_penalty"]
+                )
+            if s.use_typical_sampling:
+                lg = typical_filter(lg, s.typical_mass)
+            if s.ban_stop_token:
+                lg = lg.at[:, cfg.stop_mel_token].set(NEG_INF)
+            if s.do_sample:
+                tok = _apply_top_k_top_p_sample(
+                    lg, sub, st["temperature"], st["top_p"], s.top_k
+                )
+            else:
+                tok = jnp.argmax(lg, axis=-1)
+            idle = jnp.logical_or(st["finished"], ~st["active"])
+            tok = jnp.where(idle, cfg.stop_mel_token, tok).astype(jnp.int32)
+            # idle rows write out-of-range -> dropped (their buffer is final)
+            write_at = jnp.where(idle, max_new, st["gen_count"])
+            codes = st["codes"].at[jnp.arange(B), write_at].set(
+                tok, mode="drop"
+            )
+            finished = jnp.logical_or(
+                st["finished"], tok == cfg.stop_mel_token
+            )
+            gen_count = st["gen_count"] + jnp.where(idle, 0, 1)
+            finished = jnp.logical_or(finished, gen_count >= max_new)
+            penal_mask = st["penal_mask"].at[jnp.arange(B), tok].set(True)
+
+            emb = model.apply(
+                params, tok, st["gen_count"], method=UnifiedVoice.embed_mel_step
+            )
+            pos = jnp.minimum(st["pos"], st["ks"].shape[3] - 1)
+            hidden, (ks, vs) = model.apply(
+                params, emb, (st["ks"], st["vs"]), pos, pos + 1,
+                st["cap_mask"], method=UnifiedVoice.gpt_decode_step,
+            )
+            logits = model.apply(
+                params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
+            )
+            return {
+                **st,
+                "i": st["i"] + 1,
+                "key": key,
+                "codes": codes,
+                "logits": logits,
+                "ks": ks,
+                "vs": vs,
+                "pos": jnp.where(idle, st["pos"], st["pos"] + 1),
+                "gen_count": gen_count,
+                "finished": finished,
+                "penal_mask": penal_mask,
+            }
+
+        state = {**state, "i": jnp.asarray(0, jnp.int32)}
+        state = jax.lax.while_loop(cond_fn, body_fn, state)
+        state.pop("i")
+        return state
 
     def cond_prefill(self, params, conds_latent) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Prefill the conds-only prefix and return its KV (L, B, H, P, Dh).

@@ -96,7 +96,9 @@ class IndexTTS2Engine:
         self.tokenizer = tokenizer
         self.precise = precise_shapes
 
-        self.gpt = UnifiedVoice(cfg.gpt, dtype=gpt_dtype)
+        self.gpt = UnifiedVoice(
+            cfg.gpt, dtype=gpt_dtype, attn_impl=cfg.runtime.attn_impl
+        )
         self.s2mel = S2Mel(cfg.s2mel)
         self.bigvgan = BigVGAN(cfg.vocoder, dtype=voc_dtype)
         self.repcodec = RepCodec(cfg.semantic_codec)

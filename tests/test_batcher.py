@@ -1,0 +1,96 @@
+"""Continuous batching: join/leave across chunk boundaries produces the same
+codes as individual decode calls (greedy)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+from indextts_tpu.models.unified_voice import UnifiedVoice
+from indextts_tpu.runtime.batcher import ContinuousBatcher
+from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+
+CFG = GPTConfig(
+    model_dim=64, layers=2, heads=4, max_mel_tokens=64, max_text_tokens=32,
+    number_text_tokens=50, number_mel_codes=36, start_mel_token=34,
+    stop_mel_token=35,
+    condition_module=ConditionModuleConfig(
+        output_size=32, linear_units=48, attention_heads=4, num_blocks=1
+    ),
+    emo_condition_module=ConditionModuleConfig(
+        output_size=32, linear_units=32, attention_heads=2, num_blocks=1
+    ),
+)
+
+
+def _params(model):
+    p = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64)), jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
+        jnp.zeros((1, 6), jnp.int32), jnp.asarray([6]), jnp.zeros((1, 64)),
+        method=UnifiedVoice.forward_latent,
+    )["params"]
+    ph = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64)),
+        method=UnifiedVoice.mel_logits_from_hidden,
+    )["params"]
+    for k, v in ph.items():
+        p.setdefault(k, v)
+    return {"params": p}
+
+
+@pytest.mark.parametrize("attn_impl", ["xla", "xla_bucketed"])
+def test_batcher_matches_individual_greedy(rng, attn_impl):
+    model = UnifiedVoice(CFG, attn_impl=attn_impl)
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
+    params = _params(model)
+    bucket, max_new = 8, 12
+
+    reqs = []
+    for i in range(5):  # 5 requests, 2 slots -> continuous admission
+        conds = jnp.asarray(
+            np.random.default_rng(100 + i).standard_normal((1, 34, 64)),
+            jnp.float32,
+        )
+        n = 3 + (i % 4)
+        text = np.random.default_rng(200 + i).integers(2, 50, n)
+        reqs.append((conds, text))
+
+    # individual reference decodes
+    want = []
+    for conds, text in reqs:
+        ids, pos, valid = dec.build_text_prompt_arrays(
+            text[None], np.asarray([len(text)]), bucket
+        )
+        r = dec.generate(
+            params, conds, jnp.asarray(ids), jnp.asarray(pos),
+            jnp.asarray(valid), jax.random.PRNGKey(0), max_new=max_new,
+        )
+        n = int(np.asarray(r.lengths)[0])
+        want.append(np.asarray(r.codes)[0, :n])
+
+    bat = ContinuousBatcher(
+        dec, params, n_slots=2, text_bucket=bucket, max_new=max_new,
+        chunk_steps=4,
+    )
+    ids = [bat.submit(c, t) for c, t in reqs]
+    done = bat.run()
+    assert [c.req_id for c in done] == ids
+    for c, w in zip(done, want):
+        np.testing.assert_array_equal(c.codes, w)
+
+
+def test_batcher_rejects_oversize_text():
+    model = UnifiedVoice(CFG)
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
+    bat = ContinuousBatcher(dec, {"params": {}}, n_slots=1, text_bucket=4,
+                            max_new=4)
+    with pytest.raises(ValueError):
+        bat.submit(jnp.zeros((1, 34, 64)), np.arange(9))
