@@ -28,9 +28,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 NEG_INF = -1e9
-# bucketed decode attention: prefix granularity (128-lane-aligned; 6 branches
-# at the flagship cap)
-_BUCKET_BK = 256
 
 
 def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
@@ -177,47 +174,22 @@ class GPT2Attention(nn.Module):
                 )
             k, v = ck[layer_idx], cv[layer_idx]
             new_kv = (ck, cv)
-            if self.attn_impl == "xla_bucketed" and extra:
-                # bucketed-prefix decode attention: the AR loop advances all
-                # rows in lockstep, so the valid prefix length is uniform;
-                # lax.switch over static prefix slices reads only
-                # ceil(valid/BK)*BK cache tokens instead of the full cap.
-                # Exactly equal to full-cap attention: every excluded
-                # position carries NEG_INF bias, whose softmax weight is an
-                # exact 0.0 in f32. HBM decode traffic is the throughput
-                # ceiling at B>=8 (the TPU counterpart of the reference's
-                # paged flash decode, accel/attention.py:129-153).
-                (bucket_idx,) = extra
-                cap = k.shape[2]
-                BK = _BUCKET_BK
-                nbr = -(-cap // BK)
-                scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, dtype=jnp.float32))
-
-                def mk(m):
-                    S_m = min((m + 1) * BK, cap)
-
-                    def br(q, k, v, bias):
-                        ks_ = jax.lax.slice_in_dim(k, 0, S_m, axis=2)
-                        vs_ = jax.lax.slice_in_dim(v, 0, S_m, axis=2)
-                        bs_ = jax.lax.slice_in_dim(bias, 0, S_m, axis=3)
-                        s = (
-                            jnp.einsum("bhtd,bhsd->bhts", q, ks_).astype(
-                                jnp.float32
-                            )
-                            * scale
-                            + bs_
-                        )
-                        p = jax.nn.softmax(s, axis=-1).astype(vs_.dtype)
-                        return jnp.einsum("bhts,bhsd->bhtd", p, vs_)
-
-                    return br
-
-                ctx = jax.lax.switch(
-                    bucket_idx, [mk(m) for m in range(nbr)], q, k, v, attn_bias
+            if extra:
+                # bucketed-prefix decode attention: attend only over the
+                # first `prefix_limit` cache tokens (a STATIC slice — the
+                # decode loop picks the branch once per step via lax.switch,
+                # models/unified_voice.py gpt_decode_step). Exactly equal to
+                # full-cap attention: every excluded position carries NEG_INF
+                # bias, whose softmax weight is an exact 0.0 in f32. HBM
+                # decode traffic is the throughput ceiling at B>=8 (the TPU
+                # counterpart of the reference's paged flash decode,
+                # accel/attention.py:129-153).
+                (prefix_limit,) = extra
+                k = jax.lax.slice_in_dim(k, 0, prefix_limit, axis=2)
+                v = jax.lax.slice_in_dim(v, 0, prefix_limit, axis=2)
+                attn_bias = jax.lax.slice_in_dim(
+                    attn_bias, 0, prefix_limit, axis=3
                 )
-                ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
-                out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
-                return out, new_kv
         else:
             new_kv = (k, v)
 
@@ -281,13 +253,18 @@ class GPT2Core(nn.Module):
         kv_caches: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         cache_index: Optional[jnp.ndarray] = None,
         kv_valid_len: Optional[jnp.ndarray] = None,
+        prefix_limit: Optional[int] = None,
     ):
         """
         inputs_embeds: (B, T, D)
         attention_mask: (B, S) 1/0 padding mask over the key axis; in decode
           mode S == Tmax of the cache, in prefill S == T.
         kv_caches: optional stacked caches (L, B, H, Tmax, Dh) x2 for decode.
-        cache_index: scalar write position for decode.
+        cache_index: scalar write position for decode, or (B,) per-row
+          positions (continuous batching).
+        prefix_limit: STATIC bound — decode attention reads only the first
+          prefix_limit cache tokens (bucketed-prefix attention; the caller
+          guarantees every valid position is below it).
         Returns (hidden, new_kv_caches_or_None).
         """
         B, T, D = inputs_embeds.shape
@@ -346,14 +323,7 @@ class GPT2Core(nn.Module):
                     valid, attention_mask.astype(bool)[:, None, :]
                 )
             bias = jnp.where(valid[:, None], 0.0, NEG_INF)
-            extra = ()
-            if self.attn_impl == "xla_bucketed":
-                nbr = -(-Tmax // _BUCKET_BK)
-                n = jnp.max(kv_valid_len)
-                bucket_idx = jnp.clip(
-                    (n + _BUCKET_BK - 1) // _BUCKET_BK - 1, 0, nbr - 1
-                )
-                extra = (bucket_idx,)
+            extra = () if prefix_limit is None else (prefix_limit,)
             for i in range(self.n_layer):
                 x, (ks, vs) = GPT2Block(
                     self.n_head, self.dtype, self.quantize, self.attn_impl,

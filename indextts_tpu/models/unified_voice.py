@@ -192,6 +192,7 @@ class UnifiedVoice(nn.Module):
         cache_index,
         kv_valid_len,
         attention_mask,
+        prefix_limit=None,
     ):
         return self.gpt(
             token_embeds,
@@ -199,6 +200,7 @@ class UnifiedVoice(nn.Module):
             kv_caches=kv_caches,
             cache_index=cache_index,
             kv_valid_len=kv_valid_len,
+            prefix_limit=prefix_limit,
         )
 
     # ------------------------------------------------------------------

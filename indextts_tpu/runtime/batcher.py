@@ -180,3 +180,125 @@ class ContinuousBatcher:
             if chunks >= max_chunks:
                 raise RuntimeError("continuous batcher exceeded max_chunks")
         return sorted(self.completed, key=lambda c: c.req_id)
+
+
+class ContinuousService:
+    """Persistent serving front-end over ContinuousBatcher.
+
+    submit() is thread-safe and returns a concurrent.futures.Future that
+    resolves to a SegmentResult: the AR decode runs inside the shared chunked
+    loop (requests from different clients batch dynamically), and the cascade
+    tail (latent -> s2mel -> vocoder) runs per request as it completes.
+    Enable in serving with TARS_CONTINUOUS_SLOTS>1.
+    """
+
+    def __init__(
+        self,
+        engine,
+        n_slots: int = 4,
+        text_bucket: int = 64,
+        max_new: Optional[int] = None,
+        chunk_steps: int = 32,
+        seed: int = 0,
+    ):
+        import threading
+        from concurrent.futures import Future
+
+        self.engine = engine
+        rt = engine.cfg.runtime
+        self.max_new = max_new or rt.max_mel_tokens
+        self.bat = ContinuousBatcher(
+            engine.decoder,
+            {"params": engine.p_gpt},
+            n_slots=n_slots,
+            text_bucket=text_bucket,
+            max_new=self.max_new,
+            chunk_steps=chunk_steps,
+            temperature=rt.temperature,
+            top_p=rt.top_p,
+            repetition_penalty=rt.repetition_penalty,
+            seed=seed,
+        )
+        self._Future = Future
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._incoming: List[tuple] = []
+        self._futures: Dict[int, Any] = {}
+        self._meta: Dict[int, tuple] = {}
+        self._running = True
+        self._next_tmp_id = 0
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, spk, emo, text_ids, emo_alpha: float = 1.0,
+               emo_vector=None, seed: Optional[int] = None):
+        """Queue one segment; returns a Future[SegmentResult]."""
+        eng = self.engine
+        emovec = eng._emovec_program(
+            eng.p_gpt, spk.spk_cond_emb, emo.emo_cond_emb,
+            jnp.asarray([spk.cond_len]), jnp.asarray([emo.cond_len]),
+            jnp.asarray(emo_alpha, jnp.float32),
+        )
+        if emo_vector is not None:
+            mat_vec = eng._emovec_from_matrix(emo_vector, spk.style, False)
+            weight_sum = float(np.sum(emo_vector))
+            emovec = jnp.asarray(mat_vec) + (1.0 - weight_sum) * emovec
+        conds = eng._build_conds_program(eng.p_gpt, spk.spk_latents, emovec)
+        fut = self._Future()
+        with self._cv:
+            self._incoming.append(
+                (conds, np.asarray(text_ids, np.int32), spk, emovec, seed, fut,
+                 time.perf_counter())
+            )
+            self._cv.notify()
+        return fut
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                while (self._running and not self._incoming
+                       and not any(r is not None for r in self.bat._slot_req)):
+                    self._cv.wait(timeout=0.5)
+                if not self._running:
+                    return
+                moved = self._incoming
+                self._incoming = []
+            for conds, text_ids, spk, emovec, seed, fut, t0 in moved:
+                try:
+                    rid = self.bat.submit(conds, text_ids)
+                except ValueError as e:
+                    fut.set_exception(e)
+                    continue
+                self._futures[rid] = fut
+                self._meta[rid] = (spk, emovec, text_ids, seed, t0)
+            self.bat._admit()
+            if not any(r is not None for r in self.bat._slot_req):
+                continue
+            self.bat.state = self.bat.dec.step_chunk(
+                self.bat.params, self.bat.state, chunk=self.bat.chunk,
+                max_new=self.bat.max_new,
+            )
+            for b in range(self.bat.B):
+                if self.bat._slot_req[b] is not None:
+                    self.bat._slot_chunks[b] += 1
+            self.bat._harvest()
+            done, self.bat.completed = self.bat.completed, []
+            for c in done:
+                fut = self._futures.pop(c.req_id, None)
+                spk, emovec, text_ids, seed, t0 = self._meta.pop(c.req_id)
+                if fut is None or fut.cancelled():
+                    continue
+                try:
+                    res = self.engine._finish_from_codes(
+                        spk, emovec, text_ids, c.codes, seed,
+                        time.perf_counter() - t0,
+                    )
+                    fut.set_result(res)
+                except Exception as e:  # surface cascade errors to the caller
+                    fut.set_exception(e)
+
+    def shutdown(self):
+        with self._cv:
+            self._running = False
+            self._cv.notify_all()
+        self._thread.join(timeout=5)

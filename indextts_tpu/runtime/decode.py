@@ -163,6 +163,39 @@ class GPTDecoder:
 
     # -- jitted generation --------------------------------------------------
 
+    BUCKET_BK = 512  # bucketed-prefix attention granularity (lane-aligned)
+
+    def _decode_step_call(self, params, emb, ks, vs, cache_index,
+                          kv_valid_len, cap_mask, valid_now, cap: int):
+        """One transformer decode step. With attn_impl="xla_bucketed", wraps
+        the WHOLE 24-layer step in a single lax.switch whose branch m reads
+        only the first (m+1)*BK cache tokens — a static slice, so attention
+        HBM traffic tracks the live prefix instead of the full cap. One
+        switch per step (per-layer switching measured ~20-30us each on v5e,
+        24x per step — hoisting it here makes the branch overhead ~1/24th).
+        Token-identical to full-cap attention (excluded positions are exact
+        softmax zeros)."""
+        model = self.model
+
+        def call(limit):
+            return model.apply(
+                params, emb, (ks, vs), cache_index, kv_valid_len, cap_mask,
+                prefix_limit=limit, method=UnifiedVoice.gpt_decode_step,
+            )
+
+        if getattr(model, "attn_impl", "xla") != "xla_bucketed":
+            return call(None)
+        BK = self.BUCKET_BK
+        nbr = -(-cap // BK)
+        if nbr <= 1:
+            return call(None)
+        bidx = jnp.clip((valid_now + BK - 1) // BK - 1, 0, nbr - 1)
+        branches = [
+            (lambda m: (lambda: call(min((m + 1) * BK, cap))))(m)
+            for m in range(nbr)
+        ]
+        return jax.lax.switch(bidx, branches)
+
     def _generate(
         self,
         params,
@@ -304,14 +337,10 @@ class GPTDecoder:
             emb = self.model.apply(
                 params, tok, step, method=UnifiedVoice.embed_mel_step
             )
-            hidden, (ks, vs) = self.model.apply(
-                params,
-                emb,
-                (ks, vs),
-                S + step,
-                jnp.full((B,), S + step + 1, jnp.int32),
-                cap_mask,
-                method=UnifiedVoice.gpt_decode_step,
+            hidden, (ks, vs) = self._decode_step_call(
+                params, emb, ks, vs, S + step,
+                jnp.full((B,), S + step + 1, jnp.int32), cap_mask,
+                valid_now=S + step + 1, cap=cap,
             )
             logits = self.model.apply(
                 params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
@@ -709,9 +738,9 @@ class GPTDecoder:
                 params, tok, st["gen_count"], method=UnifiedVoice.embed_mel_step
             )
             pos = jnp.minimum(st["pos"], st["ks"].shape[3] - 1)
-            hidden, (ks, vs) = model.apply(
-                params, emb, (st["ks"], st["vs"]), pos, pos + 1,
-                st["cap_mask"], method=UnifiedVoice.gpt_decode_step,
+            hidden, (ks, vs) = self._decode_step_call(
+                params, emb, st["ks"], st["vs"], pos, pos + 1, st["cap_mask"],
+                valid_now=jnp.max(pos) + 1, cap=st["ks"].shape[3],
             )
             logits = model.apply(
                 params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden

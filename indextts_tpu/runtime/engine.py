@@ -488,16 +488,34 @@ class IndexTTS2Engine:
             )
         codes_np = np.asarray(res.codes)
         n_codes = int(np.asarray(res.lengths)[0])
+        t_gpt_gen = time.perf_counter() - t0
+        return self._finish_from_codes(
+            spk, emovec, text_ids, codes_np[0, :n_codes], seed, t_gpt_gen
+        )
+
+    def _finish_from_codes(
+        self,
+        spk: SpeakerConditioning,
+        emovec,
+        text_ids: np.ndarray,
+        codes_trimmed: np.ndarray,
+        seed: Optional[int],
+        t_gpt_gen: float,
+    ) -> SegmentResult:
+        """Latent pass + s2mel + vocoder for one decoded segment (everything
+        after the AR loop; shared by the sequential path and the continuous
+        batcher)."""
+        rt = self.cfg.runtime
+        n = len(text_ids)
         # trim at stop; optionally compress long silent-token runs (the
         # reference v2 defines remove_long_silence at infer_v2.py:410-465 but
         # its live path only stop-trims at :789-807 — see RuntimeConfig)
         codes_row, code_len = self.remove_long_silence(
-            codes_np[0, :n_codes],
+            codes_trimmed,
             self.cfg.gpt.stop_mel_token,
             compress=rt.remove_long_silence,
         )
         code_len = max(code_len, 1)
-        t_gpt_gen = time.perf_counter() - t0
 
         # latent pass (teacher forced) ------------------------------------
         t1 = time.perf_counter()

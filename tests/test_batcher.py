@@ -94,3 +94,47 @@ def test_batcher_rejects_oversize_text():
                             max_new=4)
     with pytest.raises(ValueError):
         bat.submit(jnp.zeros((1, 34, 64)), np.arange(9))
+
+
+def test_continuous_service_end_to_end():
+    """ContinuousService: concurrent segment futures produce the same audio
+    as sequential synthesize_segment (greedy, same seed noise)."""
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_engine_e2e import tiny_config
+
+    from indextts_tpu.runtime.batcher import ContinuousService
+    from indextts_tpu.runtime.engine import (
+        EmotionConditioning,
+        IndexTTS2Engine,
+        random_params,
+    )
+
+    import dataclasses as dc
+
+    cfg = tiny_config()
+    # greedy for bit-stable comparison
+    cfg = dc.replace(cfg, runtime=dc.replace(cfg.runtime, do_sample=False))
+    engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    wav = (np.random.default_rng(3).standard_normal(16000) * 0.1).astype(np.float32)
+    spk = engine.prepare_speaker(wav, 16000)
+    emo = EmotionConditioning(spk.spk_cond_emb, spk.cond_len)
+    segs = [np.random.default_rng(40 + i).integers(2, 50, 5 + i) for i in range(3)]
+
+    want = [
+        engine.synthesize_segment(spk, emo, s, seed=7, do_sample=False,
+                                  num_beams=1, max_mel_tokens=24)
+        for s in segs
+    ]
+
+    svc = ContinuousService(engine, n_slots=2, text_bucket=16, max_new=24,
+                            chunk_steps=4)
+    try:
+        futs = [svc.submit(spk, emo, s, seed=7) for s in segs]
+        got = [f.result(timeout=120) for f in futs]
+    finally:
+        svc.shutdown()
+
+    for g, w in zip(got, want):
+        assert g.codes_len == w.codes_len
+        np.testing.assert_array_equal(g.wav, w.wav)

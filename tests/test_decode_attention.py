@@ -257,28 +257,32 @@ def test_decode_loop_xla_bucketed_matches_xla(rng):
 
 
 def test_gpt2core_bucketed_step_multi_branch(rng):
-    """Step-level check across bucket boundaries (cap 640 -> 3 branches of
-    256): bucketed decode step equals full-cap step at valid lengths falling
-    in different buckets, including exact multiples of the bucket size."""
+    """Step-level check of the static prefix slice (cap 640): a decode step
+    with prefix_limit >= valid equals the full-cap step numerically (the
+    shorter static contraction reorders the f32 reduction tree, so agreement
+    is to rounding, not bitwise; the decode-loop tests assert token
+    equality), at valid lengths around bucket boundaries."""
     import jax
     from indextts_tpu.models.gpt2 import GPT2Core, init_kv_cache
 
     L_, B, H, Dh, cap = 2, 2, 4, 16, 640
     D = H * Dh
-    core_x = GPT2Core(L_, H)
-    core_b = GPT2Core(L_, H, attn_impl="xla_bucketed")
+    core = GPT2Core(L_, H)
     x0 = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
     ks, vs = init_kv_cache(L_, B, H, cap, Dh)
     ks = jnp.asarray(rng.standard_normal(ks.shape), jnp.float32) * 0.3
     vs = jnp.asarray(rng.standard_normal(vs.shape), jnp.float32) * 0.3
-    params = core_x.init(
+    params = core.init(
         jax.random.PRNGKey(0), x0, None, (ks, vs), jnp.asarray(0),
         jnp.full((B,), 1, jnp.int32),
     )
     mask = jnp.ones((B, cap), bool).at[0, 3:7].set(False)  # a left-pad hole
-    for n in (5, 255, 256, 257, 511, 639):
+    for n, limit in ((5, 256), (255, 256), (256, 256), (257, 512), (511, 512),
+                     (639, 640)):
         idx = jnp.asarray(n, jnp.int32)
         vl = jnp.full((B,), n + 1, jnp.int32)
-        out_x, _ = core_x.apply(params, x0, mask, (ks, vs), idx, vl)
-        out_b, _ = core_b.apply(params, x0, mask, (ks, vs), idx, vl)
-        np.testing.assert_array_equal(np.asarray(out_x), np.asarray(out_b))
+        out_x, _ = core.apply(params, x0, mask, (ks, vs), idx, vl)
+        out_b, _ = core.apply(params, x0, mask, (ks, vs), idx, vl,
+                              prefix_limit=limit)
+        np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_b),
+                                   atol=2e-3, rtol=2e-3)
