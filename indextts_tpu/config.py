@@ -323,6 +323,10 @@ class RuntimeConfig:
     # (prefix-bucketed lax.switch; token-identical, less HBM traffic),
     # "pallas_ragged" (ragged kernel, transposed caches)
     attn_impl: str = "xla"
+    # int8 KV cache in the decode loop (per-vector absmax; halves the
+    # dominant decode HBM stream). Slight logits perturbation — sampling
+    # path only; beam/continuous-batching paths keep the float cache.
+    kv_quant: bool = False
     # static decode-loop bucket sizes (text prompt padded to one of these)
     text_buckets: Tuple[int, ...] = (32, 64, 128)
     # KV cache capacity of the jitted decode program

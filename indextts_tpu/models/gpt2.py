@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 NEG_INF = -1e9
+# bucketed-prefix decode attention granularity (lane-aligned)
+BUCKET_BK = 256
 
 
 def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
@@ -93,11 +95,38 @@ def quantize_conv1d_params(tree: dict) -> dict:
             "bias": np.asarray(tree["bias"])}
 
 
+def quantize_kv(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-vector int8 absmax quantization over the last (head_dim) axis.
+
+    Returns (q int8 same shape, scale f32 without the last axis). Used for the
+    int8 KV cache (kv_quant): decode attention reads the int8 cache directly —
+    scores = (q . k_q) * k_scale[s] and ctx = (p * v_scale[s]) . v_q — so the
+    dominant HBM stream (the KV cache, the B>=8 decode throughput ceiling)
+    halves without materializing a dequantized copy."""
+    tf = t.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(tf), axis=-1) / 127.0 + 1e-8
+    q = jnp.clip(jnp.round(tf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def init_kv_cache_quant(
+    n_layer: int, batch: int, n_head: int, max_len: int, head_dim: int
+):
+    """(ks, vs, ksc, vsc): int8 caches + per-(layer,row,head,token) scales."""
+    shape = (n_layer, batch, n_head, max_len, head_dim)
+    sshape = shape[:-1]
+    return (
+        jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+        jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32),
+    )
+
+
 class GPT2Attention(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantize: bool = False
     attn_impl: str = "xla"  # "xla" | "xla_bucketed" | "pallas_ragged" (decode)
+    kv_quant: bool = False  # int8 KV cache (decode only)
 
     @nn.compact
     def __call__(
@@ -150,6 +179,47 @@ class GPT2Attention(nn.Module):
             out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
             return out, (ck, cv)
 
+        if kv_cache is not None and self.kv_quant:
+            # int8 KV cache: kv_cache = (ck, cv int8 (L,B,H,cap,Dh), ksc, vsc
+            # f32 (L,B,H,cap), layer_idx). Both attention matmuls read the
+            # int8 cache directly; the per-token scales fold into the scores
+            # (k) and the probs (v), so the cache's HBM stream — the decode
+            # throughput ceiling at B>=8 — halves vs bf16.
+            ck, cv, ksc, vsc, layer_idx = kv_cache
+            kq, k_sc = quantize_kv(k)  # (B,H,T,Dh) int8, (B,H,T) f32
+            vq, v_sc = quantize_kv(v)
+            if getattr(cache_index, "ndim", 0) == 1:
+                bidx = jnp.arange(B)
+                ck = ck.at[layer_idx, bidx, :, cache_index, :].set(kq[:, :, 0, :])
+                cv = cv.at[layer_idx, bidx, :, cache_index, :].set(vq[:, :, 0, :])
+                ksc = ksc.at[layer_idx, bidx, :, cache_index].set(k_sc[:, :, 0])
+                vsc = vsc.at[layer_idx, bidx, :, cache_index].set(v_sc[:, :, 0])
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq[None], (layer_idx, 0, 0, cache_index, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq[None], (layer_idx, 0, 0, cache_index, 0)
+                )
+                ksc = jax.lax.dynamic_update_slice(
+                    ksc, k_sc[None], (layer_idx, 0, 0, cache_index)
+                )
+                vsc = jax.lax.dynamic_update_slice(
+                    vsc, v_sc[None], (layer_idx, 0, 0, cache_index)
+                )
+            k8, v8 = ck[layer_idx], cv[layer_idx]          # (B,H,cap,Dh) int8
+            ksc_l, vsc_l = ksc[layer_idx], vsc[layer_idx]  # (B,H,cap) f32
+            scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+            raw = jnp.einsum("bhtd,bhsd->bhts", q, k8.astype(q.dtype))
+            scores = raw.astype(jnp.float32) * scale * ksc_l[:, :, None, :]
+            scores = scores + attn_bias
+            probs = jax.nn.softmax(scores, axis=-1)
+            pv = (probs * vsc_l[:, :, None, :]).astype(x.dtype)
+            ctx = jnp.einsum("bhts,bhsd->bhtd", pv, v8.astype(x.dtype))
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
+            out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+            return out, (ck, cv, ksc, vsc)
+
         if kv_cache is not None:
             # kv_cache = full stacked caches (L, B, H, Tmax, Dh); write this
             # step's k/v at (layer_idx, :, :, cache_index) IN PLACE — never
@@ -175,21 +245,56 @@ class GPT2Attention(nn.Module):
             k, v = ck[layer_idx], cv[layer_idx]
             new_kv = (ck, cv)
             if extra:
-                # bucketed-prefix decode attention: attend only over the
-                # first `prefix_limit` cache tokens (a STATIC slice — the
-                # decode loop picks the branch once per step via lax.switch,
-                # models/unified_voice.py gpt_decode_step). Exactly equal to
-                # full-cap attention: every excluded position carries NEG_INF
-                # bias, whose softmax weight is an exact 0.0 in f32. HBM
-                # decode traffic is the throughput ceiling at B>=8 (the TPU
-                # counterpart of the reference's paged flash decode,
-                # accel/attention.py:129-153).
-                (prefix_limit,) = extra
-                k = jax.lax.slice_in_dim(k, 0, prefix_limit, axis=2)
-                v = jax.lax.slice_in_dim(v, 0, prefix_limit, axis=2)
-                attn_bias = jax.lax.slice_in_dim(
-                    attn_bias, 0, prefix_limit, axis=3
-                )
+                # bucketed-prefix decode attention: attend only over a static
+                # prefix of the cache. Exactly equal to full-cap attention
+                # (excluded positions carry NEG_INF bias -> exact softmax
+                # zeros); HBM decode traffic is the throughput ceiling at
+                # B>=8 — the TPU counterpart of the reference's paged flash
+                # decode (accel/attention.py:129-153).
+                #
+                # The switch is PER LAYER and wraps only the ctx computation:
+                # the cache update stays outside, so only (B,T,D)-sized
+                # values cross the conditional. Wrapping the whole layer
+                # stack in one switch was measured 2.3x SLOWER at cap 1664
+                # (XLA conditionals copy the loop-carried caches at the
+                # branch boundary).
+                (lim,) = extra
+                if isinstance(lim, int):
+                    # static prefix (tests / known-bound callers)
+                    k = jax.lax.slice_in_dim(k, 0, lim, axis=2)
+                    v = jax.lax.slice_in_dim(v, 0, lim, axis=2)
+                    attn_bias = jax.lax.slice_in_dim(attn_bias, 0, lim, axis=3)
+                else:
+                    cap = k.shape[2]
+                    BK = BUCKET_BK
+                    nbr = -(-cap // BK)
+                    scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+
+                    def mk(m):
+                        S_m = min((m + 1) * BK, cap)
+
+                        def br(q, k, v, bias):
+                            ks_ = jax.lax.slice_in_dim(k, 0, S_m, axis=2)
+                            vs_ = jax.lax.slice_in_dim(v, 0, S_m, axis=2)
+                            bs_ = jax.lax.slice_in_dim(bias, 0, S_m, axis=3)
+                            s = (
+                                jnp.einsum("bhtd,bhsd->bhts", q, ks_).astype(
+                                    jnp.float32
+                                )
+                                * scale
+                                + bs_
+                            )
+                            p = jax.nn.softmax(s, axis=-1).astype(vs_.dtype)
+                            return jnp.einsum("bhts,bhsd->bhtd", p, vs_)
+
+                        return br
+
+                    ctx = jax.lax.switch(
+                        lim, [mk(m) for m in range(nbr)], q, k, v, attn_bias
+                    )
+                    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
+                    out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+                    return out, new_kv
         else:
             new_kv = (k, v)
 
@@ -220,12 +325,14 @@ class GPT2Block(nn.Module):
     dtype: Any = jnp.float32
     quantize: bool = False
     attn_impl: str = "xla"
+    kv_quant: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, kv_cache=None, cache_index=None):
         h = nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=self.dtype)(x)
         attn_out, new_kv = GPT2Attention(
-            self.n_head, self.dtype, self.quantize, self.attn_impl, name="attn"
+            self.n_head, self.dtype, self.quantize, self.attn_impl,
+            self.kv_quant, name="attn"
         )(h, attn_bias, kv_cache, cache_index)
         x = x + attn_out
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2", dtype=self.dtype)(x)
@@ -244,6 +351,8 @@ class GPT2Core(nn.Module):
     attn_impl: str = "xla"
     # interpret-mode for the pallas kernel (CPU tests)
     pallas_interpret: bool = False
+    # int8 KV cache for decode (kv_caches = (ks, vs, ksc, vsc))
+    kv_quant: bool = False
 
     @nn.compact
     def __call__(
@@ -313,7 +422,34 @@ class GPT2Core(nn.Module):
             # T > 1 is a chunked continuation prefill (prefix-KV reuse): query
             # t of the chunk sees keys < kv_valid_len - (T-1-t), i.e. causal
             # within the chunk, everything before it unconditionally.
-            ks, vs = kv_caches
+            caches = tuple(kv_caches)  # (ks, vs) or (ks, vs, ksc, vsc)
+            ks = caches[0]
+            # route by cache arity: a kv_quant model still serves float-cache
+            # callers (beam search, continuous batching) through the float
+            # path — only the 4-tuple int8 cache takes the quant branch
+            if self.kv_quant and len(caches) == 4:
+                assert self.attn_impl == "xla", (
+                    "kv_quant requires attn_impl='xla'"
+                )
+                Tmax = ks.shape[3]
+                pos = jnp.arange(Tmax)
+                thr = kv_valid_len[:, None] - (T - 1) + jnp.arange(T)[None, :]
+                valid = pos[None, None, :] < thr[:, :, None]
+                if attention_mask is not None:
+                    valid = jnp.logical_and(
+                        valid, attention_mask.astype(bool)[:, None, :]
+                    )
+                bias = jnp.where(valid[:, None], 0.0, NEG_INF)
+                for i in range(self.n_layer):
+                    x, caches = GPT2Block(
+                        self.n_head, self.dtype, self.quantize,
+                        self.attn_impl, kv_quant=True, name=f"h_{i}",
+                    )(x, bias, kv_cache=caches + (i,),
+                      cache_index=cache_index)
+                x = nn.LayerNorm(epsilon=1e-5, name="ln_f",
+                                 dtype=self.dtype)(x)
+                return x, caches
+            ks, vs = caches
             Tmax = ks.shape[3]
             pos = jnp.arange(Tmax)
             thr = kv_valid_len[:, None] - (T - 1) + jnp.arange(T)[None, :]
@@ -323,7 +459,16 @@ class GPT2Core(nn.Module):
                     valid, attention_mask.astype(bool)[:, None, :]
                 )
             bias = jnp.where(valid[:, None], 0.0, NEG_INF)
-            extra = () if prefix_limit is None else (prefix_limit,)
+            if prefix_limit is not None:
+                extra = (prefix_limit,)
+            elif self.attn_impl == "xla_bucketed" and T == 1:
+                nbr = -(-Tmax // BUCKET_BK)
+                n = jnp.max(kv_valid_len)
+                extra = (
+                    jnp.clip((n + BUCKET_BK - 1) // BUCKET_BK - 1, 0, nbr - 1),
+                ) if nbr > 1 else ()
+            else:
+                extra = ()
             for i in range(self.n_layer):
                 x, (ks, vs) = GPT2Block(
                     self.n_head, self.dtype, self.quantize, self.attn_impl,

@@ -39,6 +39,9 @@ class UnifiedVoice(nn.Module):
     # decode attention implementation: "xla" | "pallas_ragged"
     attn_impl: str = "xla"
     pallas_interpret: bool = False
+    # int8 KV cache for decode (halves decode HBM traffic; see models/gpt2.py
+    # quantize_kv). Sampling path only.
+    kv_quant: bool = False
 
     def setup(self):
         c = self.cfg
@@ -84,7 +87,7 @@ class UnifiedVoice(nn.Module):
         self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
         self.mel_head = nn.Dense(c.number_mel_codes, name="mel_head")
         self.text_head = nn.Dense(c.number_text_tokens + 1, name="text_head")
-        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, self.attn_impl, self.pallas_interpret, name="gpt")
+        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, self.attn_impl, self.pallas_interpret, self.kv_quant, name="gpt")
 
     # ------------------------------------------------------------------
     # Conditioning

@@ -254,9 +254,25 @@ class ContinuousService:
         return fut
 
     def _worker(self):
+        try:
+            self._worker_loop()
+        except BaseException as e:  # worker death must not strand futures
+            with self._cv:
+                self._running = False
+                futs = list(self._futures.values())
+                futs += [t[5] for t in self._incoming]
+                self._incoming = []
+                self._futures.clear()
+            for fut in futs:
+                if not fut.done():
+                    fut.set_exception(e)
+            raise
+
+    def _worker_loop(self):
         while True:
             with self._cv:
                 while (self._running and not self._incoming
+                       and not self.bat._queue
                        and not any(r is not None for r in self.bat._slot_req)):
                     self._cv.wait(timeout=0.5)
                 if not self._running:

@@ -163,38 +163,19 @@ class GPTDecoder:
 
     # -- jitted generation --------------------------------------------------
 
-    BUCKET_BK = 512  # bucketed-prefix attention granularity (lane-aligned)
-
-    def _decode_step_call(self, params, emb, ks, vs, cache_index,
-                          kv_valid_len, cap_mask, valid_now, cap: int):
-        """One transformer decode step. With attn_impl="xla_bucketed", wraps
-        the WHOLE 24-layer step in a single lax.switch whose branch m reads
-        only the first (m+1)*BK cache tokens — a static slice, so attention
-        HBM traffic tracks the live prefix instead of the full cap. One
-        switch per step (per-layer switching measured ~20-30us each on v5e,
-        24x per step — hoisting it here makes the branch overhead ~1/24th).
-        Token-identical to full-cap attention (excluded positions are exact
-        softmax zeros)."""
-        model = self.model
-
-        def call(limit):
-            return model.apply(
-                params, emb, (ks, vs), cache_index, kv_valid_len, cap_mask,
-                prefix_limit=limit, method=UnifiedVoice.gpt_decode_step,
-            )
-
-        if getattr(model, "attn_impl", "xla") != "xla_bucketed":
-            return call(None)
-        BK = self.BUCKET_BK
-        nbr = -(-cap // BK)
-        if nbr <= 1:
-            return call(None)
-        bidx = jnp.clip((valid_now + BK - 1) // BK - 1, 0, nbr - 1)
-        branches = [
-            (lambda m: (lambda: call(min((m + 1) * BK, cap))))(m)
-            for m in range(nbr)
-        ]
-        return jax.lax.switch(bidx, branches)
+    def _decode_step_call(self, params, emb, caches, cache_index,
+                          kv_valid_len, cap_mask):
+        """One transformer decode step. `caches` is (ks, vs) or, with
+        kv_quant, (ks, vs, ksc, vsc) int8+scales. Bucketed-prefix attention
+        (attn_impl="xla_bucketed") is handled inside GPT2Core with a
+        per-layer lax.switch wrapping only the ctx computation — wrapping
+        the whole layer stack in one switch was measured 2.3x slower at cap
+        1664 because XLA conditionals copy the loop-carried caches at the
+        branch boundary."""
+        return self.model.apply(
+            params, emb, caches, cache_index, kv_valid_len, cap_mask,
+            method=UnifiedVoice.gpt_decode_step,
+        )
 
     def _generate(
         self,
@@ -265,13 +246,34 @@ class GPTDecoder:
                 vs = jax.lax.dynamic_update_slice(
                     vs, pv.transpose(0, 1, 2, 4, 3), (0, 0, 0, 0, 0)
                 )
+            elif getattr(model, "kv_quant", False):
+                # int8 KV cache (models/gpt2.py quantize_kv): quantize the
+                # prefill KV once, decode reads only int8 + scales
+                from indextts_tpu.models.gpt2 import quantize_kv
+
+                pkq, pks = quantize_kv(pk)  # (L,B,H,S,Dh) int8, (L,B,H,S) f32
+                pvq, pvs = quantize_kv(pv)
+                ks = jnp.zeros((L, B, H, cap, Dh), jnp.int8)
+                vs = jnp.zeros((L, B, H, cap, Dh), jnp.int8)
+                ksc = jnp.zeros((L, B, H, cap), jnp.float32)
+                vsc = jnp.zeros((L, B, H, cap), jnp.float32)
+                ks = jax.lax.dynamic_update_slice(ks, pkq, (0, 0, 0, 0, 0))
+                vs = jax.lax.dynamic_update_slice(vs, pvq, (0, 0, 0, 0, 0))
+                ksc = jax.lax.dynamic_update_slice(ksc, pks, (0, 0, 0, 0))
+                vsc = jax.lax.dynamic_update_slice(vsc, pvs, (0, 0, 0, 0))
+                caches = (ks, vs, ksc, vsc)
             else:
                 ks = jnp.zeros((L, B, H, cap, Dh), pk.dtype)
                 vs = jnp.zeros((L, B, H, cap, Dh), pv.dtype)
                 ks = jax.lax.dynamic_update_slice(ks, pk, (0, 0, 0, 0, 0))
                 vs = jax.lax.dynamic_update_slice(vs, pv, (0, 0, 0, 0, 0))
+            if not getattr(model, "kv_quant", False):
+                caches = (ks, vs)
             last_hidden = hidden[:, -1]
         else:
+            assert not getattr(model, "kv_quant", False), (
+                "prefix-KV reuse keeps the float cache layout"
+            )
             # prefix-KV reuse (reference: accel/kv_manager.py:106-198 chained-
             # hash block reuse): the conds section's KV depends only on the
             # conds latents (causal prefix), so a per-speaker cached (ck0,cv0)
@@ -287,7 +289,7 @@ class GPTDecoder:
             vs = jax.lax.dynamic_update_slice(
                 vs, jnp.broadcast_to(cv0, (L, B, H, P, Dh)), (0, 0, 0, 0, 0)
             )
-            hidden, (ks, vs) = model.apply(
+            hidden, caches = model.apply(
                 params,
                 tail,
                 (ks, vs),
@@ -311,11 +313,11 @@ class GPTDecoder:
         finished0 = jnp.zeros((B,), dtype=bool)
 
         def cond_fn(state):
-            step, _, _, _, _, finished, _, _ = state
+            step, _, _, _, finished, _, _ = state
             return jnp.logical_and(step < max_new, ~jnp.all(finished))
 
         def body_fn(state):
-            step, codes, logits, ks, vs, finished, key, penal_mask = state
+            step, codes, logits, caches, finished, key, penal_mask = state
             key, sub = jax.random.split(key)
             lg = logits
             if s.use_repetition_penalty:
@@ -337,22 +339,20 @@ class GPTDecoder:
             emb = self.model.apply(
                 params, tok, step, method=UnifiedVoice.embed_mel_step
             )
-            hidden, (ks, vs) = self._decode_step_call(
-                params, emb, ks, vs, S + step,
+            hidden, caches = self._decode_step_call(
+                params, emb, caches, S + step,
                 jnp.full((B,), S + step + 1, jnp.int32), cap_mask,
-                valid_now=S + step + 1, cap=cap,
             )
             logits = self.model.apply(
                 params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
             )
-            return (step + 1, codes, logits, ks, vs, finished, key, penal_mask)
+            return (step + 1, codes, logits, caches, finished, key, penal_mask)
 
         state = (
             jnp.asarray(0, jnp.int32),
             codes0,
             last_logits,
-            ks,
-            vs,
+            caches,
             finished0,
             key,
             penal_mask,
@@ -739,8 +739,8 @@ class GPTDecoder:
             )
             pos = jnp.minimum(st["pos"], st["ks"].shape[3] - 1)
             hidden, (ks, vs) = self._decode_step_call(
-                params, emb, st["ks"], st["vs"], pos, pos + 1, st["cap_mask"],
-                valid_now=jnp.max(pos) + 1, cap=st["ks"].shape[3],
+                params, emb, (st["ks"], st["vs"]), pos, pos + 1,
+                st["cap_mask"],
             )
             logits = model.apply(
                 params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden

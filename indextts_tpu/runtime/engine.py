@@ -97,7 +97,8 @@ class IndexTTS2Engine:
         self.precise = precise_shapes
 
         self.gpt = UnifiedVoice(
-            cfg.gpt, dtype=gpt_dtype, attn_impl=cfg.runtime.attn_impl
+            cfg.gpt, dtype=gpt_dtype, attn_impl=cfg.runtime.attn_impl,
+            kv_quant=cfg.runtime.kv_quant,
         )
         self.s2mel = S2Mel(cfg.s2mel)
         self.bigvgan = BigVGAN(cfg.vocoder, dtype=voc_dtype)
@@ -927,6 +928,67 @@ class IndexTTS2Engine:
             "audio": wav,
             "duration_sec": dur,
             "rtf": rtf,
+            "stats": stats,
+        }
+
+    def infer_continuous(
+        self,
+        service,
+        spk_audio: Union[str, Tuple[np.ndarray, int]],
+        text_ids_segments: List[np.ndarray],
+        emo_audio: Optional[Union[str, Tuple[np.ndarray, int]]] = None,
+        emo_alpha: float = 1.0,
+        emo_vector: Optional[Sequence[float]] = None,
+        interval_silence: int = 200,
+        seed: Optional[int] = None,
+        timeout: float = 600.0,
+    ):
+        """infer() via a shared ContinuousService: segments (and segments of
+        OTHER concurrent requests) batch dynamically in one AR loop. Same
+        return contract as infer()."""
+        start = time.perf_counter()
+        if isinstance(spk_audio, str):
+            audio, sr = audio_utils.load_wav(spk_audio)
+            spk = self.prepare_speaker(audio, sr, cache_key=spk_audio)
+        else:
+            spk = self.prepare_speaker(*spk_audio)
+        if emo_vector is not None:
+            emo_audio = None
+        if emo_audio is None:
+            emo = EmotionConditioning(spk.spk_cond_emb, spk.cond_len)
+            emo_alpha = 1.0
+        elif isinstance(emo_audio, str):
+            audio, sr = audio_utils.load_wav(emo_audio)
+            emo = self.prepare_emotion(audio, sr, cache_key=emo_audio)
+        else:
+            emo = self.prepare_emotion(*emo_audio)
+
+        futs = [
+            service.submit(
+                spk, emo, np.asarray(seg), emo_alpha=emo_alpha,
+                emo_vector=emo_vector,
+                seed=None if seed is None else seed + i,
+            )
+            for i, seg in enumerate(text_ids_segments)
+        ]
+        stats = [f.result(timeout=timeout) for f in futs]
+        wavs = [r.wav for r in stats]
+
+        sr_out = self.cfg.runtime.sampling_rate
+        sil = np.zeros(int(sr_out * interval_silence / 1000.0), np.float32)
+        pieces = []
+        for i, w in enumerate(wavs):
+            pieces.append(w)
+            if i < len(wavs) - 1:
+                pieces.append(sil)
+        wav = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+        total = time.perf_counter() - start
+        dur = len(wav) / sr_out
+        return {
+            "sampling_rate": sr_out,
+            "audio": wav,
+            "duration_sec": dur,
+            "rtf": total / dur if dur > 0 else float("inf"),
             "stats": stats,
         }
 

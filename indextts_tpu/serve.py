@@ -96,12 +96,45 @@ def main(argv=None):
             )
         return list(qe.inference(emo_text if emo_text else text).values())
 
+    # continuous batching: TARS_CONTINUOUS_SLOTS>1 runs every request's
+    # segments through one shared chunked AR loop (requests from different
+    # clients batch dynamically); raise TARS_MAX_CONCURRENCY with it so
+    # multiple requests are in flight
+    cont_slots = int(os.environ.get("TARS_CONTINUOUS_SLOTS", "0"))
+    service = None
+    if cont_slots > 1:
+        from indextts_tpu.runtime.batcher import ContinuousService
+
+        service = ContinuousService(
+            engine,
+            n_slots=cont_slots,
+            text_bucket=engine.cfg.runtime.max_text_tokens_per_segment,
+            chunk_steps=int(os.environ.get("TARS_CONTINUOUS_CHUNK", "32")),
+        )
+        print_stage(f"Continuous batching: {cont_slots} slots", "complete")
+
+    def _segments(text):
+        pieces = engine.tokenizer.tokenize(text)
+        segs = engine.tokenizer.split_segments(
+            pieces, engine.cfg.runtime.max_text_tokens_per_segment
+        )
+        return [
+            np.asarray(engine.tokenizer.convert_tokens_to_ids(s), np.int32)
+            for s in segs
+        ]
+
     def synth(text="", spk_audio=None, emo_audio=None, emo_alpha=1.0,
               emo_vector=None, seed=None, use_emo_text=False, emo_text=None,
               **kw):
         spk = spk_audio or default_prompt
         if spk is None:
             raise ValueError("no speaker prompt: pass spk_audio or set TARS_REFERENCE_AUDIO")
+        if service is not None and engine.tokenizer is not None:
+            emo_vector = _emo_kwargs(text, use_emo_text, emo_text, emo_vector)
+            return engine.infer_continuous(
+                service, spk, _segments(text), emo_audio=emo_audio,
+                emo_alpha=emo_alpha, emo_vector=emo_vector, seed=seed,
+            )
         if engine.tokenizer is not None:
             return engine.infer_text(
                 spk, text, emo_audio=emo_audio, emo_alpha=emo_alpha,
@@ -111,6 +144,11 @@ def main(argv=None):
         emo_vector = _emo_kwargs(text, use_emo_text, emo_text, emo_vector)
         ids = np.frombuffer(text.encode()[:200], dtype=np.uint8).astype(np.int32)
         ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
+        if service is not None:
+            return engine.infer_continuous(
+                service, spk, [ids], emo_audio=emo_audio,
+                emo_alpha=emo_alpha, emo_vector=emo_vector, seed=seed,
+            )
         return engine.infer(spk, [ids], emo_audio=emo_audio,
                             emo_alpha=emo_alpha, emo_vector=emo_vector, seed=seed)
 

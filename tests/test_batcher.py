@@ -138,3 +138,46 @@ def test_continuous_service_end_to_end():
     for g, w in zip(got, want):
         assert g.codes_len == w.codes_len
         np.testing.assert_array_equal(g.wav, w.wav)
+
+
+def test_engine_infer_continuous_concurrent_requests():
+    """engine.infer_continuous: two concurrent multi-segment requests through
+    one shared service produce the same audio as sequential engine.infer."""
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).parent))
+    import dataclasses as dc
+    from concurrent.futures import ThreadPoolExecutor
+
+    from test_engine_e2e import tiny_config
+
+    from indextts_tpu.runtime.batcher import ContinuousService
+    from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+
+    cfg = tiny_config()
+    cfg = dc.replace(cfg, runtime=dc.replace(cfg.runtime, do_sample=False,
+                                             num_beams=1, max_mel_tokens=24))
+    engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    wav = ((np.random.default_rng(3).standard_normal(16000) * 0.1)
+           .astype(np.float32), 16000)
+    reqs = [
+        [np.random.default_rng(60 + i).integers(2, 50, 5 + j)
+         for j in range(2)]
+        for i in range(2)
+    ]
+    want = [np.asarray(engine.infer(wav, segs, seed=5)["audio"])
+            for segs in reqs]
+
+    svc = ContinuousService(engine, n_slots=3, text_bucket=16, max_new=24,
+                            chunk_steps=4)
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            got = list(ex.map(
+                lambda segs: np.asarray(
+                    engine.infer_continuous(svc, wav, segs, seed=5)["audio"]
+                ),
+                reqs,
+            ))
+    finally:
+        svc.shutdown()
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
