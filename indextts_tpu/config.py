@@ -327,6 +327,11 @@ class RuntimeConfig:
     # dominant decode HBM stream). Slight logits perturbation — sampling
     # path only; beam/continuous-batching paths keep the float cache.
     kv_quant: bool = False
+    # W8A8 int8 GPT weights on the MXU (models/gpt2.py Conv1D quantize=True;
+    # params converted through torch_convert.quantize_gpt_tree). Halves the
+    # weight HBM stream — the B=1 decode throughput ceiling. Small fidelity
+    # cost (tests/test_int8.py bounds it); composable with kv_quant.
+    gpt_quantize: bool = False
     # static decode-loop bucket sizes (text prompt padded to one of these)
     text_buckets: Tuple[int, ...] = (32, 64, 128)
     # KV cache capacity of the jitted decode program

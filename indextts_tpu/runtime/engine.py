@@ -99,6 +99,7 @@ class IndexTTS2Engine:
         self.gpt = UnifiedVoice(
             cfg.gpt, dtype=gpt_dtype, attn_impl=cfg.runtime.attn_impl,
             kv_quant=cfg.runtime.kv_quant,
+            quantize_gpt=cfg.runtime.gpt_quantize,
         )
         self.s2mel = S2Mel(cfg.s2mel)
         self.bigvgan = BigVGAN(cfg.vocoder, dtype=voc_dtype)
@@ -124,7 +125,12 @@ class IndexTTS2Engine:
                 tree,
             )
 
-        self.p_gpt = put_as(params["gpt"], gpt_dtype)
+        p_gpt_raw = params["gpt"]
+        if cfg.runtime.gpt_quantize:
+            from indextts_tpu.runtime.torch_convert import quantize_gpt_tree
+
+            p_gpt_raw = quantize_gpt_tree(p_gpt_raw)
+        self.p_gpt = put_as(p_gpt_raw, gpt_dtype)
         self.p_s2mel = put(params["s2mel"])
         self.p_bigvgan = put_as(params["bigvgan"], voc_dtype)
         self.p_repcodec = put(params["repcodec"])

@@ -72,3 +72,33 @@ def test_int8_decode_runs(rng):
     codes = np.asarray(res.codes)
     assert codes.shape == (1, 10)
     assert ((codes >= 0) & (codes < 36)).all()
+
+
+def test_engine_gpt_quantize_smoke():
+    """RuntimeConfig.gpt_quantize: engine converts the GPT tree through
+    quantize_gpt_tree and the full cascade (beam default + sampling +
+    kv_quant combo) still produces finite audio."""
+    import dataclasses as dc
+    import sys
+    from pathlib import Path
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_engine_e2e import tiny_config
+
+    from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+
+    cfg = tiny_config()
+    cfg = dc.replace(
+        cfg,
+        runtime=dc.replace(
+            cfg.runtime, gpt_quantize=True, kv_quant=True, num_beams=1,
+            max_mel_tokens=24,
+        ),
+    )
+    engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    wav = (np.random.default_rng(3).standard_normal(16000) * 0.1).astype(
+        np.float32
+    )
+    out = engine.infer((wav, 16000), [np.random.default_rng(4).integers(2, 50, 7)], seed=0)
+    assert np.isfinite(out["audio"]).all() and out["audio"].size > 0
