@@ -321,7 +321,10 @@ class RuntimeConfig:
     gpt_dtype: str = "bfloat16"
     # decode attention implementation: "xla" (full-cap), "xla_bucketed"
     # (prefix-bucketed lax.switch; token-identical, less HBM traffic),
-    # "pallas_ragged" (ragged kernel, transposed caches)
+    # "pallas_ragged" (ragged kernel, transposed caches), "pallas_q8"
+    # (int8 block-major caches + fused-dequant Pallas kernel; the cache is
+    # DMA'd once per step as int8 — sampling path only, beam falls back to
+    # the float cache)
     attn_impl: str = "xla"
     # int8 KV cache in the decode loop (per-vector absmax; halves the
     # dominant decode HBM stream). Slight logits perturbation — sampling

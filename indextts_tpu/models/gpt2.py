@@ -179,6 +179,49 @@ class GPT2Attention(nn.Module):
             out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
             return out, (ck, cv)
 
+        if kv_cache is not None and self.attn_impl == "pallas_q8":
+            # int8 block-major caches + the fused-dequant Pallas kernel
+            # (ops/decode_attention.py _kernel_blocked_q8): one DMA per token
+            # block fetches every head's int8 K (or V) + scales; the cache is
+            # read once as int8 — XLA's quant path materializes a dequantized
+            # copy and reads it twice (both attention einsums).
+            from indextts_tpu.ops.decode_attention import (
+                ragged_decode_attention_blocked_q8,
+            )
+
+            (k8_b, v8_b, ksc_b, vsc_b, layer_idx, valid_len, hole_s, hole_e,
+             interp) = kv_cache
+            assert T == 1, "pallas_q8 is a single-token decode path"
+            blkq = k8_b.shape[-1]
+            kq, k_sc = quantize_kv(k)  # (B,H,1,Dh) int8, (B,H,1) f32
+            vq, v_sc = quantize_kv(v)
+            blk_i = cache_index // blkq
+            off = cache_index % blkq
+            k8_b = jax.lax.dynamic_update_slice(
+                k8_b, kq.transpose(0, 1, 3, 2)[None, :, None],
+                (layer_idx, 0, blk_i, 0, 0, off),
+            )
+            v8_b = jax.lax.dynamic_update_slice(
+                v8_b, vq.transpose(0, 1, 3, 2)[None, :, None],
+                (layer_idx, 0, blk_i, 0, 0, off),
+            )
+            ksc_b = jax.lax.dynamic_update_slice(
+                ksc_b, k_sc[None, :, None], (layer_idx, 0, blk_i, 0, off)
+            )
+            vsc_b = jax.lax.dynamic_update_slice(
+                vsc_b, v_sc[None, :, None], (layer_idx, 0, blk_i, 0, off)
+            )
+            ctx = ragged_decode_attention_blocked_q8(
+                q[:, :, 0, :].astype(jnp.float32),
+                k8_b[layer_idx], v8_b[layer_idx],
+                ksc_b[layer_idx], vsc_b[layer_idx],
+                valid_len, hole_start=hole_s, hole_end=hole_e,
+                interpret=interp,
+            )  # (B, H, Dh) f32
+            ctx = ctx.astype(x.dtype).reshape(B, 1, D)
+            out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+            return out, (k8_b, v8_b, ksc_b, vsc_b)
+
         if kv_cache is not None and self.kv_quant:
             # int8 KV cache: kv_cache = (ck, cv int8 (L,B,H,cap,Dh), ksc, vsc
             # f32 (L,B,H,cap), layer_idx). Both attention matmuls read the
@@ -417,6 +460,30 @@ class GPT2Core(nn.Module):
                     cache_index=cache_index,
                 )
             new_kv = (ks, vs)
+        elif (self.attn_impl == "pallas_q8" and len(tuple(kv_caches)) == 4
+              and kv_caches[0].ndim == 6):
+            # int8 block-major decode via the fused-dequant Pallas kernel:
+            # caches (L,B,NB,H,Dh,blk) int8 x2 + (L,B,NB,H,blk) f32 scales x2
+            k8_b, v8_b, ksc_b, vsc_b = kv_caches
+            if attention_mask is not None:
+                inval = ~attention_mask.astype(bool)
+                hole_s = jnp.argmax(inval, axis=1).astype(jnp.int32)
+                hole_e = hole_s + jnp.sum(inval, axis=1).astype(jnp.int32)
+            else:
+                hole_s = jnp.zeros((B,), jnp.int32)
+                hole_e = jnp.zeros((B,), jnp.int32)
+            caches = (k8_b, v8_b, ksc_b, vsc_b)
+            for i in range(self.n_layer):
+                x, caches = GPT2Block(
+                    self.n_head, self.dtype, self.quantize, self.attn_impl,
+                    name=f"h_{i}",
+                )(
+                    x, None,
+                    kv_cache=caches + (i, kv_valid_len, hole_s, hole_e,
+                                       self.pallas_interpret),
+                    cache_index=cache_index,
+                )
+            new_kv = caches
         else:
             # decode: attend to cache positions < kv_valid_len (+ current).
             # T > 1 is a chunked continuation prefill (prefix-KV reuse): query
@@ -469,9 +536,12 @@ class GPT2Core(nn.Module):
                 ) if nbr > 1 else ()
             else:
                 extra = ()
+            # a pallas_q8 model still serves float-cache callers (beam
+            # search) through the plain XLA decode attention
+            impl = "xla" if self.attn_impl == "pallas_q8" else self.attn_impl
             for i in range(self.n_layer):
                 x, (ks, vs) = GPT2Block(
-                    self.n_head, self.dtype, self.quantize, self.attn_impl,
+                    self.n_head, self.dtype, self.quantize, impl,
                     name=f"h_{i}",
                 )(x, bias, kv_cache=(ks, vs, i) + extra, cache_index=cache_index)
             new_kv = (ks, vs)

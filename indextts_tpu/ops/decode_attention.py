@@ -414,3 +414,193 @@ def ragged_decode_attention_xla(q, k_cache, v_cache, valid_len):
     s = jnp.where(pos[None, None, :] < valid_len[:, None, None], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhs,bhsd->bhd", p, v_cache.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# int8 block-major variant: caches quantized per (head, token) over head_dim
+# (models/gpt2.py quantize_kv semantics). One DMA per block fetches all heads'
+# int8 K (or V) + the f32 scales; dequantization is fused into the two MXU
+# contractions, so the cache's HBM stream — the B>=8 decode ceiling — is half
+# the bf16 kernel's and is read exactly ONCE (XLA's quant path materializes a
+# dequantized copy and reads the cache in both attention einsums).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_blocked_q8(scalars_ref, q_ref, k_hbm, v_hbm, ksc_hbm, vsc_hbm,
+                       o_ref, k_vmem, v_vmem, ksc_vmem, vsc_vmem, sem,
+                       *, blk: int, scale: float):
+    b = pl.program_id(0)
+    valid = scalars_ref[b, 0]
+    hole_start = scalars_ref[b, 1]
+    hole_end = scalars_ref[b, 2]
+    n_blocks = (valid + blk - 1) // blk
+    H, Dh = q_ref.shape
+    # scale arrays carry H padded to the 8-sublane tile (Mosaic requires
+    # aligned slices on the second-minor axis for f32)
+
+    q = q_ref[:].astype(jnp.float32)
+    q3 = q.reshape(H, 1, Dh)
+
+    def dma(slot, i):
+        return (
+            pltpu.make_async_copy(k_hbm.at[b, i], k_vmem.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[b, i], v_vmem.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(ksc_hbm.at[b, i], ksc_vmem.at[slot], sem.at[slot, 2]),
+            pltpu.make_async_copy(vsc_hbm.at[b, i], vsc_vmem.at[slot], sem.at[slot, 3]),
+        )
+
+    for cp in dma(0, 0):
+        cp.start()
+
+    def body(i, carry):
+        m_prev, l_prev, acc_prev = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            for cp in dma(nxt, i + 1):
+                cp.start()
+
+        for cp in dma(slot, i):
+            cp.wait()
+        start = i * blk
+        k = k_vmem[slot].astype(jnp.float32)   # (H, Dh, blk) dequant pending
+        v = v_vmem[slot].astype(jnp.float32)
+        ksc = ksc_vmem[slot][:H]                # (H, blk) f32 (Hp-padded)
+        vsc = vsc_vmem[slot][:H]
+        # batched GEMV on the MXU; per-token scale folds into the scores
+        raw = jax.lax.dot_general(
+            q3, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                       # (H, 1, blk)
+        s = raw * ksc[:, None, :] * scale
+        pos = jax.lax.broadcasted_iota(jnp.int32, (H, 1, blk), 2) + start
+        ok = jnp.logical_and(
+            pos < valid,
+            jnp.logical_or(pos < hole_start, pos >= hole_end),
+        )
+        s = jnp.where(ok, s, NEG_INF)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))  # (H, 1)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, :, None])      # (H, 1, blk)
+        l_new = l_prev * alpha + jnp.sum(p, axis=2)
+        # fold the V scale into the probs: ctx = (p * vsc) . v8
+        pv = jax.lax.dot_general(
+            p * vsc[:, None, :], v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                       # (H, 1, Dh)
+        acc_new = acc_prev * alpha[:, :, None] + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((H, 1), jnp.float32)
+    acc0 = jnp.zeros((H, 1, Dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[:] = (acc[:, 0, :] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def ragged_decode_attention_blocked_q8(
+    q, k8_b, v8_b, ksc_b, vsc_b, valid_len,
+    interpret: bool = False, hole_start=None, hole_end=None,
+):
+    """int8 block-major ragged decode attention.
+
+    q: (B, H, Dh) float; k8_b/v8_b: (B, NB, H, Dh, blk) int8;
+    ksc_b/vsc_b: (B, NB, Hp, blk) f32 per-(head, token) scales with the head
+    axis padded to the 8-sublane tile (see to_blocked_scales); valid_len (B,).
+    Optional masked hole [hole_start, hole_end) per sequence (the prompt's
+    left-pad run). Returns (B, H, Dh) float32."""
+    B = q.shape[0]
+    if hole_start is None:
+        hole_start = jnp.zeros((B,), jnp.int32)
+    if hole_end is None:
+        hole_end = jnp.zeros((B,), jnp.int32)
+    return _ragged_decode_attention_blocked_q8(
+        q, k8_b, v8_b, ksc_b, vsc_b,
+        jnp.stack([valid_len.astype(jnp.int32), hole_start.astype(jnp.int32),
+                   hole_end.astype(jnp.int32)], axis=1),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ragged_decode_attention_blocked_q8(
+    q: jnp.ndarray,       # (B, H, Dh)
+    k8_b: jnp.ndarray,    # (B, NB, H, Dh, blk) int8
+    v8_b: jnp.ndarray,
+    ksc_b: jnp.ndarray,   # (B, NB, Hp, blk) f32
+    vsc_b: jnp.ndarray,
+    scalars: jnp.ndarray,  # (B, 3)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, NB, H, Dh, blk = k8_b.shape
+    Hp = ksc_b.shape[2]
+    assert Hp % 8 == 0 and Hp >= H, (Hp, H)
+    scale = 1.0 / (Dh ** 0.5)
+    kern = functools.partial(_kernel_blocked_q8, blk=blk, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, H, Dh, blk), jnp.int8),
+            pltpu.VMEM((2, H, Dh, blk), jnp.int8),
+            pltpu.VMEM((2, Hp, blk), jnp.float32),
+            pltpu.VMEM((2, Hp, blk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dh), jnp.float32),
+        interpret=interpret,
+    )(scalars, q, k8_b, v8_b, ksc_b, vsc_b)
+
+
+def to_blocked_scales(sc: jnp.ndarray, blk: int) -> jnp.ndarray:
+    """(..., B, H, S) -> (..., B, NB, Hp, blk): S zero-padded up to blocks,
+    H zero-padded to the 8-sublane tile (Mosaic slice alignment)."""
+    *lead, B, H, S = sc.shape
+    NB = -(-S // blk)
+    Hp = -(-H // 8) * 8
+    sc = jnp.pad(
+        sc, [(0, 0)] * (len(lead) + 1) + [(0, Hp - H), (0, NB * blk - S)]
+    )
+    sc = sc.reshape(*lead, B, Hp, NB, blk)
+    n = len(lead)
+    return sc.transpose(*range(n), n, n + 2, n + 1, n + 3)
+
+
+def ragged_decode_attention_q8_xla(q, k8_b, v8_b, ksc_b, vsc_b, valid_len,
+                                   hole_start=None, hole_end=None):
+    """XLA reference of the same int8 math (testing/fallback)."""
+    B, NB, H, Dh, blk = k8_b.shape
+    cap = NB * blk
+    ksc_b = ksc_b[:, :, :H]
+    vsc_b = vsc_b[:, :, :H]
+    k = (k8_b.astype(jnp.float32)
+         * ksc_b[:, :, :, None, :]).transpose(0, 2, 1, 4, 3).reshape(B, H, cap, Dh)
+    v = (v8_b.astype(jnp.float32)
+         * vsc_b[:, :, :, None, :]).transpose(0, 2, 1, 4, 3).reshape(B, H, cap, Dh)
+    scale = 1.0 / (Dh ** 0.5)
+    s = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), k) * scale
+    pos = jnp.arange(cap)
+    ok = pos[None, None, :] < valid_len[:, None, None]
+    if hole_start is not None:
+        ok = jnp.logical_and(
+            ok,
+            jnp.logical_or(pos[None, None, :] < hole_start[:, None, None],
+                           pos[None, None, :] >= hole_end[:, None, None]),
+        )
+    s = jnp.where(ok, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhs,bhsd->bhd", p, v)

@@ -120,7 +120,12 @@ def anti_alias_snake(
     if os.environ.get("INDEXTTS_PALLAS_SNAKE") == "1":
         import jax as _jax
 
-        if _jax.default_backend() not in ("cpu",):
+        C = x.shape[-1]
+        # the kernel zero-pads channels to the 128-lane tile; when the pad
+        # ratio exceeds 1.5x the fused kernel's halved HBM traffic no longer
+        # beats XLA's 3-op pipeline — keep XLA for the narrow tail stages
+        pad_ratio = (-(-C // 128) * 128) / C
+        if _jax.default_backend() not in ("cpu",) and pad_ratio <= 1.5:
             from indextts_tpu.ops.snake_pallas import anti_alias_snake_pallas
 
             return anti_alias_snake_pallas(x, alpha, beta, logscale)

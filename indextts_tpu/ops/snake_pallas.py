@@ -136,16 +136,21 @@ def anti_alias_snake_pallas(
     """Fused up2 -> snakebeta -> down2; exact match of ops/snake.anti_alias_snake.
 
     x: (B, T, C) float32 -> (B, T, C)."""
-    B, T, C = x.shape
+    B, T, C_in = x.shape
+    C = C_in
+    # Mosaic DMA slices must be lane-tile (128) aligned on the minor dim:
+    # zero-pad channels up. Padded lanes stay exactly 0 through the whole
+    # pipeline (FIRs are linear; snake(0) = 0 + sin(0)^2/beta = 0).
+    Cp = -(-C // 128) * 128
     n_blocks = -(-T // block_t)
     T_pad = n_blocks * block_t
-    xp = jnp.pad(
-        x.astype(jnp.float32),
-        ((0, 0), (HALO, HALO + (T_pad - T)), (0, 0)),
-        mode="edge",
-    )
-    a2 = alpha.reshape(1, C).astype(jnp.float32)
-    b2 = beta.reshape(1, C).astype(jnp.float32)
+    xp = x.astype(jnp.float32)
+    if Cp != C:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, Cp - C)))
+    xp = jnp.pad(xp, ((0, 0), (HALO, HALO + (T_pad - T)), (0, 0)), mode="edge")
+    a2 = jnp.pad(alpha.reshape(1, C), ((0, 0), (0, Cp - C))).astype(jnp.float32)
+    b2 = jnp.pad(beta.reshape(1, C), ((0, 0), (0, Cp - C))).astype(jnp.float32)
+    C = Cp
 
     kern = functools.partial(_kernel, block_t=block_t, T=T, logscale=logscale)
     out = pl.pallas_call(
@@ -166,4 +171,4 @@ def anti_alias_snake_pallas(
         ],
         interpret=interpret,
     )(xp, a2, b2)
-    return out[:, :T]
+    return out[:, :T, :C_in]

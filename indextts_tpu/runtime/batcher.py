@@ -55,6 +55,9 @@ class ContinuousBatcher:
         repetition_penalty: float = 10.0,
         seed: int = 0,
     ):
+        assert getattr(decoder.model, "attn_impl", "xla") in (
+            "xla", "xla_bucketed"
+        ), "continuous batching uses the standard float cache layout"
         self.dec = decoder
         self.params = params
         self.B = n_slots

@@ -163,6 +163,9 @@ class GPTDecoder:
 
     # -- jitted generation --------------------------------------------------
 
+    # token-block size of the int8 block-major cache (attn_impl="pallas_q8")
+    BLKQ = 256
+
     def _decode_step_call(self, params, emb, caches, cache_index,
                           kv_valid_len, cap_mask):
         """One transformer decode step. `caches` is (ks, vs) or, with
@@ -220,10 +223,14 @@ class GPTDecoder:
         )
         S = P + tail.shape[1]
         cap = S + max_new
-        transposed = getattr(model, "attn_impl", "xla") == "pallas_ragged"
+        attn_impl = getattr(model, "attn_impl", "xla")
+        transposed = attn_impl == "pallas_ragged"
+        blocked_q8 = attn_impl == "pallas_q8"
         if transposed:
             # the ragged kernel DMAs 128-multiple token blocks
             cap = ((cap + 127) // 128) * 128
+        if blocked_q8:
+            cap = ((cap + self.BLKQ - 1) // self.BLKQ) * self.BLKQ
         cap_mask = jnp.concatenate(
             [prompt_mask, jnp.ones((B, max_new), dtype=bool)], axis=1
         )
@@ -246,6 +253,25 @@ class GPTDecoder:
                 vs = jax.lax.dynamic_update_slice(
                     vs, pv.transpose(0, 1, 2, 4, 3), (0, 0, 0, 0, 0)
                 )
+            elif blocked_q8:
+                # int8 block-major caches for the fused-dequant Pallas kernel
+                # (ops/decode_attention.py): (L,B,NB,H,Dh,blk) int8 + scales
+                from indextts_tpu.models.gpt2 import quantize_kv
+                from indextts_tpu.ops.decode_attention import (
+                    to_blocked_cache,
+                    to_blocked_scales,
+                )
+
+                blkq = self.BLKQ
+                pkq, pks = quantize_kv(pk)  # (L,B,H,S,Dh) int8, (L,B,H,S)
+                pvq, pvs = quantize_kv(pv)
+                padS = [(0, 0), (0, 0), (0, 0), (0, cap - S), (0, 0)]
+                k8_b = to_blocked_cache(jnp.pad(pkq, padS), blkq)
+                v8_b = to_blocked_cache(jnp.pad(pvq, padS), blkq)
+                pad_sc = [(0, 0), (0, 0), (0, 0), (0, cap - S)]
+                caches = (k8_b, v8_b,
+                          to_blocked_scales(jnp.pad(pks, pad_sc), blkq),
+                          to_blocked_scales(jnp.pad(pvs, pad_sc), blkq))
             elif getattr(model, "kv_quant", False):
                 # int8 KV cache (models/gpt2.py quantize_kv): quantize the
                 # prefill KV once, decode reads only int8 + scales
@@ -267,7 +293,7 @@ class GPTDecoder:
                 vs = jnp.zeros((L, B, H, cap, Dh), pv.dtype)
                 ks = jax.lax.dynamic_update_slice(ks, pk, (0, 0, 0, 0, 0))
                 vs = jax.lax.dynamic_update_slice(vs, pv, (0, 0, 0, 0, 0))
-            if not getattr(model, "kv_quant", False):
+            if not blocked_q8 and not getattr(model, "kv_quant", False):
                 caches = (ks, vs)
             last_hidden = hidden[:, -1]
         else:
@@ -805,9 +831,9 @@ class GPTDecoder:
         cond_kv=None,
     ) -> GenerateResult:
         if cond_kv is not None:
-            assert getattr(self.model, "attn_impl", "xla") != "pallas_ragged", (
-                "prefix-KV reuse is implemented for the standard cache layout"
-            )
+            assert getattr(self.model, "attn_impl", "xla") not in (
+                "pallas_ragged", "pallas_q8"
+            ), "prefix-KV reuse is implemented for the standard cache layout"
         codes, lengths = self._generate_jit(
             params,
             conds_latent,

@@ -286,3 +286,102 @@ def test_gpt2core_bucketed_step_multi_branch(rng):
                               prefix_limit=limit)
         np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_b),
                                    atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("valid,holes", [
+    ([100, 512, 257], None),
+    ([512, 1, 384], ([34, 0, 40], [60, 0, 90])),
+])
+def test_ragged_decode_attention_blocked_q8(rng, valid, holes):
+    """int8 block-major kernel vs the XLA reference of the same quant math."""
+    from indextts_tpu.models.gpt2 import quantize_kv
+    from indextts_tpu.ops.decode_attention import (
+        ragged_decode_attention_blocked_q8,
+        ragged_decode_attention_q8_xla,
+        to_blocked_cache,
+        to_blocked_scales,
+    )
+
+    B, H, cap, Dh, blk = 3, 4, 512, 64, 128
+    q = rng.standard_normal((B, H, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, cap, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, cap, Dh)).astype(np.float32)
+    k8, ksc = quantize_kv(jnp.asarray(k))   # (B,H,cap,Dh) int8, (B,H,cap)
+    v8, vsc = quantize_kv(jnp.asarray(v))
+    k8_b = to_blocked_cache(k8, blk)        # (B,NB,H,Dh,blk)
+    v8_b = to_blocked_cache(v8, blk)
+    ksc_b = to_blocked_scales(ksc, blk)     # (B,NB,Hp,blk)
+    vsc_b = to_blocked_scales(vsc, blk)
+    vl = jnp.asarray(valid, jnp.int32)
+    hs = he = None
+    if holes is not None:
+        hs = jnp.asarray(holes[0], jnp.int32)
+        he = jnp.asarray(holes[1], jnp.int32)
+    want = np.asarray(ragged_decode_attention_q8_xla(
+        jnp.asarray(q), k8_b, v8_b, ksc_b, vsc_b, vl, hs, he))
+    got = np.asarray(ragged_decode_attention_blocked_q8(
+        jnp.asarray(q), k8_b, v8_b, ksc_b, vsc_b, vl,
+        interpret=True, hole_start=hs, hole_end=he))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_decode_loop_pallas_q8_matches_kv_quant_xla(rng):
+    """Full greedy decode with attn_impl=pallas_q8 (interpret) equals the
+    int8-XLA (kv_quant) decode path token-for-token: both quantize the same
+    KV the same way; the kernel only changes where the dequant runs."""
+    import jax
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.models.unified_voice import UnifiedVoice
+    from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+
+    cfg = GPTConfig(
+        model_dim=64, layers=2, heads=4, max_mel_tokens=64, max_text_tokens=32,
+        number_text_tokens=50, number_mel_codes=36, start_mel_token=34,
+        stop_mel_token=35,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=4, num_blocks=1
+        ),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=32, attention_heads=2, num_blocks=1
+        ),
+    )
+    base = UnifiedVoice(cfg, kv_quant=True)
+    params = base.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64)), jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
+        jnp.zeros((1, 6), jnp.int32), jnp.asarray([6]), jnp.zeros((1, 64)),
+        method=UnifiedVoice.forward_latent,
+    )["params"]
+    ph = base.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64)),
+        method=UnifiedVoice.mel_logits_from_hidden,
+    )["params"]
+    for k2, v2 in ph.items():
+        params.setdefault(k2, v2)
+    params = {"params": params}
+
+    B = 2
+    conds = jnp.asarray(rng.standard_normal((B, 34, 64)), jnp.float32)
+    text = rng.integers(2, 50, (B, 9))
+    lens = np.array([9, 5])
+    sc = SamplingConfig(do_sample=False, use_repetition_penalty=False)
+
+    dec_x = GPTDecoder(base, cfg, sc)
+    ids, pos, valid = dec_x.build_text_prompt_arrays(text, lens, 9)
+    want = np.asarray(
+        dec_x.generate(
+            params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+            jax.random.PRNGKey(0), max_new=12,
+        ).codes
+    )
+
+    pmodel = UnifiedVoice(cfg, attn_impl="pallas_q8", pallas_interpret=True)
+    dec_p = GPTDecoder(pmodel, cfg, sc)
+    dec_p.BLKQ = 32  # multiple blocks even at tiny cap
+    got = np.asarray(
+        dec_p.generate(
+            params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+            jax.random.PRNGKey(0), max_new=12,
+        ).codes
+    )
+    np.testing.assert_array_equal(got, want)

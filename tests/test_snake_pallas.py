@@ -10,7 +10,13 @@ from indextts_tpu.ops.snake import anti_alias_snake
 from indextts_tpu.ops.snake_pallas import anti_alias_snake_pallas
 
 
-@pytest.mark.parametrize("T,C,bt", [(300, 16, 128), (1024, 8, 256), (37, 8, 64)])
+@pytest.mark.parametrize(
+    "T,C,bt",
+    [(300, 16, 128), (1024, 8, 256), (37, 8, 64),
+     # C not a multiple of the 128-lane tile: the wrapper zero-pads channels
+     # (the real BigVGAN stages hit C=192/96)
+     (256, 192, 128), (300, 96, 256)],
+)
 def test_pallas_snake_matches_xla(rng, T, C, bt):
     x = rng.standard_normal((2, T, C)).astype(np.float32)
     a = (rng.standard_normal(C) * 0.3).astype(np.float32)
