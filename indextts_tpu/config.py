@@ -350,6 +350,9 @@ class RuntimeConfig:
             cfg_rate=float(os.environ.get("TARS_CFG_RATE", "0.7")),
             max_concurrency=int(os.environ.get("TARS_MAX_CONCURRENCY", "1")),
             enable_streaming=_env_flag("TARS_ENABLE_STREAMING", True),
+            attn_impl=os.environ.get("TARS_ATTN_IMPL", "xla"),
+            kv_quant=_env_flag("TARS_KV_QUANT", False),
+            gpt_quantize=_env_flag("TARS_GPT_QUANTIZE", False),
         )
 
 

@@ -57,7 +57,9 @@ class ContinuousBatcher:
     ):
         assert getattr(decoder.model, "attn_impl", "xla") in (
             "xla", "xla_bucketed"
-        ), "continuous batching uses the standard float cache layout"
+        ) and not getattr(decoder.model, "kv_quant", False), (
+            "continuous batching uses the standard float cache layout"
+        )
         self.dec = decoder
         self.params = params
         self.B = n_slots
@@ -210,8 +212,23 @@ class ContinuousService:
         self.engine = engine
         rt = engine.cfg.runtime
         self.max_new = max_new or rt.max_mel_tokens
+        dec = engine.decoder
+        model = dec.model
+        if (getattr(model, "kv_quant", False)
+                or getattr(model, "attn_impl", "xla") not in ("xla", "xla_bucketed")):
+            # the batcher's scatter-insert works on the standard float cache;
+            # build a float-cache sibling decoder (same params — W8A8 weights
+            # are cache-layout-independent) instead of rejecting the config
+            from indextts_tpu.models.unified_voice import UnifiedVoice
+            from indextts_tpu.runtime.decode import GPTDecoder
+
+            m2 = UnifiedVoice(
+                engine.cfg.gpt, dtype=model.dtype, attn_impl="xla",
+                quantize_gpt=getattr(model, "quantize_gpt", False),
+            )
+            dec = GPTDecoder(m2, engine.cfg.gpt, dec.sampling, dec.param_dtype)
         self.bat = ContinuousBatcher(
-            engine.decoder,
+            dec,
             {"params": engine.p_gpt},
             n_slots=n_slots,
             text_bucket=text_bucket,
