@@ -73,13 +73,18 @@ def main():
     sr = 16000
     prompt = (rng.standard_normal(5 * sr) * 0.1).astype(np.float32)
 
+    # decode route: the sampling loop (num_beams=1) is the serving/throughput
+    # path (the reference accel engine also ignores num_beams, model_v2.py:871);
+    # BENCH_NUM_BEAMS=3 measures the reference-default beam-multinomial route
+    n_beams = int(os.environ.get("BENCH_NUM_BEAMS", "1"))
     n_text = int(os.environ.get("BENCH_TEXT_TOKENS", "64"))
     n_codes = int(os.environ.get("BENCH_MEL_TOKENS", "400"))
     text = rng.integers(2, cfg.gpt.number_text_tokens, n_text)
 
     # warmup / compile
     t0 = time.perf_counter()
-    out = engine.infer((prompt, sr), [text], seed=0, max_mel_tokens=n_codes)
+    out = engine.infer((prompt, sr), [text], seed=0, max_mel_tokens=n_codes,
+                       num_beams=n_beams, do_sample=True)
     compile_time = time.perf_counter() - t0
     log(f"warmup (incl. compile): {compile_time:.1f}s, audio={out['duration_sec']:.2f}s")
 
@@ -90,7 +95,8 @@ def main():
     stage_totals = {"gpt_gen": 0.0, "gpt_fwd": 0.0, "s2mel": 0.0, "bigvgan": 0.0}
     for i in range(n_runs):
         t0 = time.perf_counter()
-        out = engine.infer((prompt, sr), [text], seed=i + 1, max_mel_tokens=n_codes)
+        out = engine.infer((prompt, sr), [text], seed=i + 1, max_mel_tokens=n_codes,
+                           num_beams=n_beams, do_sample=True)
         wall = time.perf_counter() - t0
         total_wall += wall
         total_audio += out["duration_sec"]
@@ -149,7 +155,8 @@ def main():
         for rep in range(2):  # compile then time
             t0 = time.perf_counter()
             out = engine.infer(
-                (prompt, sr), segs, seed=11, max_mel_tokens=n_codes, batched=True
+                (prompt, sr), segs, seed=11, max_mel_tokens=n_codes, batched=True,
+                num_beams=1, do_sample=True,
             )
             bt = time.perf_counter() - t0
         batched_e2e_audio_s = out["duration_sec"] / bt

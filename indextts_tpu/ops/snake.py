@@ -122,14 +122,20 @@ def anti_alias_snake(
         import jax as _jax
 
         C = x.shape[-1]
-        # the kernel zero-pads channels to the 128-lane tile; when the pad
-        # ratio exceeds 1.5x the fused kernel's halved HBM traffic no longer
-        # beats XLA's 3-op pipeline — keep XLA for the narrow tail stages
-        pad_ratio = (-(-C // 128) * 128) / C
-        if _jax.default_backend() not in ("cpu",) and pad_ratio <= 1.5:
-            from indextts_tpu.ops.snake_pallas import anti_alias_snake_pallas
+        if _jax.default_backend() not in ("cpu",):
+            # wide stages: channels ride the 128 lanes (zero-padded up).
+            # narrow stages (24..96ch — most of BigVGAN's samples): the
+            # transposed kernel puts TIME on the lanes and channels on the
+            # 8-wide sublanes, so lane utilization stays full where the
+            # channel-major layout would waste up to 5.3x
+            pad_ratio = (-(-C // 128) * 128) / C
+            if pad_ratio <= 1.5:
+                from indextts_tpu.ops.snake_pallas import anti_alias_snake_pallas
 
-            return anti_alias_snake_pallas(x, alpha, beta, logscale)
+                return anti_alias_snake_pallas(x, alpha, beta, logscale)
+            from indextts_tpu.ops.snake_pallas import anti_alias_snake_pallas_t
+
+            return anti_alias_snake_pallas_t(x, alpha, beta, logscale)
     y = upsample2(x)
     y = snake_beta(y, alpha, beta, logscale)
     return downsample2(y)

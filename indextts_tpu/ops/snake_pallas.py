@@ -122,6 +122,122 @@ def _kernel(x_hbm, alpha_ref, beta_ref, o_ref, scratch, up_e_ref, up_o_ref,
     o_ref[:] = acc
 
 
+def _kernel_t(x_hbm, alpha_ref, beta_ref, o_ref, scratch, sem, *,
+              block_t: int, T: int, logscale: bool):
+    """Time-on-lanes variant: x is (B, C8, T) so the FIRs run as static lane
+    slices at full lane utilization regardless of channel count. The lane
+    halo is 128 (DMA alignment); the FIR only needs 8."""
+    even_taps, odd_taps, down_taps = _filters()
+    H = 128
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    block_start = i * block_t
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(block_start, block_t + 2 * H)], scratch, sem
+    )
+    cp.start()
+    cp.wait()
+    x = scratch[:]  # (C8, BT + 256); x[:, p] == x_global[block_start + p - 128]
+    C8 = x.shape[0]
+    n_up = block_t + 6
+
+    def fir(start, taps):
+        acc = taps[0] * x[:, start : start + n_up]
+        for m in range(1, 6):
+            acc = acc + taps[m] * x[:, start + m : start + m + n_up]
+        return acc
+
+    # same phase algebra as _kernel, lane-shifted by H - HALO = 120
+    up_even = 2.0 * fir(122, even_taps)
+    up_odd = 2.0 * fir(123, odd_taps)
+
+    alpha = alpha_ref[:, 0:1]
+    beta = beta_ref[:, 0:1]
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+
+    def snake(u):
+        s = jnp.sin(u * alpha)
+        return u + (1.0 / (beta + 1e-9)) * s * s
+
+    up_even = snake(up_even)
+    up_odd = snake(up_odd)
+
+    # edge clamping of the up signal: positions < 0 take up[0] (even phase,
+    # t=0), positions > 2T-1 take up[2T-1] (odd phase, t=T-1). Dynamic lane
+    # reads are awkward; select the boundary column by masked reduction
+    # instead (exactly one lane matches inside the affected block).
+    g = jax.lax.broadcasted_iota(jnp.int32, (C8, n_up), 1) + (block_start - 3)
+    row0 = jnp.sum(jnp.where(g == 0, up_even, 0.0), axis=1, keepdims=True)
+    rowT = jnp.sum(jnp.where(g == T - 1, up_odd, 0.0), axis=1, keepdims=True)
+    up_even = jnp.where(g < 0, row0, up_even)
+    up_odd = jnp.where(g < 0, row0, up_odd)
+    up_even = jnp.where(g > T - 1, rowT, up_even)
+    up_odd = jnp.where(g > T - 1, rowT, up_odd)
+
+    acc = None
+    for j, w in enumerate(down_taps):
+        ofs = j - 5
+        phase = ofs & 1
+        per = (ofs - phase) // 2
+        src = up_odd if phase else up_even
+        term = w * src[:, per + 3 : per + 3 + block_t]
+        acc = term if acc is None else acc + term
+    o_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("logscale", "block_t", "interpret")
+)
+def anti_alias_snake_pallas_t(
+    x: jnp.ndarray,
+    alpha: jnp.ndarray,
+    beta: jnp.ndarray,
+    logscale: bool = True,
+    block_t: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transposed-layout fused up2 -> snakebeta -> down2 (exact match of
+    ops/snake.anti_alias_snake). Channels ride the 8-wide sublane axis and
+    time rides the 128-wide lane axis, so narrow-channel stages (24..192ch,
+    where most of BigVGAN's samples live) run at full VPU lane utilization —
+    the channel-major kernel/XLA pad those to 128 lanes (up to 5.3x waste).
+
+    x: (B, T, C) float32 -> (B, T, C)."""
+    B, T, C_in = x.shape
+    H = 128
+    C8 = -(-C_in // 8) * 8  # f32 sublane tile
+    n_blocks = -(-T // block_t)
+    T_pad = n_blocks * block_t
+    xt = jnp.swapaxes(x.astype(jnp.float32), 1, 2)  # (B, C, T)
+    if C8 != C_in:
+        xt = jnp.pad(xt, ((0, 0), (0, C8 - C_in), (0, 0)))
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (H, H + (T_pad - T))), mode="edge")
+    a2 = jnp.pad(alpha.reshape(C_in, 1), ((0, C8 - C_in), (0, 0))).astype(jnp.float32)
+    b2 = jnp.pad(beta.reshape(C_in, 1), ((0, C8 - C_in), (0, 0))).astype(jnp.float32)
+
+    kern = functools.partial(_kernel_t, block_t=block_t, T=T, logscale=logscale)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # manual DMA
+            pl.BlockSpec((C8, 1), lambda b, i: (0, 0)),
+            pl.BlockSpec((C8, 1), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, C8, block_t), lambda b, i: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((B, C8, T_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C8, block_t + 2 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xt, a2, b2)
+    return jnp.swapaxes(out[:, :C_in, :T], 1, 2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("logscale", "block_t", "interpret")
 )

@@ -894,10 +894,14 @@ class IndexTTS2Engine:
         wavs = []
         stats = []
         if batched and len(text_ids_segments) > 1:
+            # the batched AR loop is sampling-only; like the reference's accel
+            # batch engine it ignores num_beams/do_sample (model_v2.py:871-883)
+            bkw = {k: v for k, v in gen_kwargs.items()
+                   if k not in ("num_beams", "do_sample")}
             wavs = self.synthesize_segments_batched(
                 spk, emo, [np.asarray(s) for s in text_ids_segments],
                 emo_alpha=emo_alpha, emo_vector=emo_vector,
-                use_random=use_random, seed=seed, **gen_kwargs,
+                use_random=use_random, seed=seed, **bkw,
             )
         else:
             for i, seg in enumerate(text_ids_segments):

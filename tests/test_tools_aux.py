@@ -133,3 +133,53 @@ def test_webui_render_localized():
     # ids / JS identifiers untouched
     assert 'getElementById("text")' in zh
     assert 'id="temperature"' in zh
+
+
+def test_synthesize_clips_make_input(tmp_path):
+    from tools.synthesize_clips import main
+
+    out = tmp_path / "input.jsonl"
+    assert main(["make-input", "--output", str(out), "--count", "5",
+                 "--shuffle", "--seed", "3"]) == 0
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 5
+    assert all({"id", "text"} <= set(r) for r in rows)
+    # ids are unique, slug-style
+    assert len({r["id"] for r in rows}) == 5
+    assert all(r["id"].startswith("clip_") for r in rows)
+    # custom phrase file wins over the built-in bank
+    phr = tmp_path / "p.txt"
+    phr.write_text("Hello there.\nGeneral greeting.\n")
+    assert main(["make-input", "--output", str(out), "--count", "10",
+                 "--phrases", str(phr)]) == 0
+    rows = [json.loads(l) for l in open(out)]
+    assert [r["text"] for r in rows] == ["Hello there.", "General greeting."]
+
+
+def test_synthesize_clips_synth(tmp_path, monkeypatch):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_engine_e2e import tiny_config
+
+    import indextts_tpu.config as config_mod
+    from tools.synthesize_clips import main
+
+    monkeypatch.setattr(config_mod, "load_config", lambda *a, **k: tiny_config())
+
+    ref = tmp_path / "ref.wav"
+    wav = (np.random.default_rng(0).standard_normal(16000) * 0.1).astype(np.float32)
+    save_wav(str(ref), wav, 16000)
+    inp = tmp_path / "in.jsonl"
+    with open(inp, "w") as f:
+        f.write(json.dumps({"id": "a_001", "text": "Hold position."}) + "\n")
+        f.write(json.dumps({"id": "a_002", "text": "Confirmed. Executing."}) + "\n")
+    out_dir = tmp_path / "clips"
+    assert main(["synth", "--input", str(inp), "--reference", str(ref),
+                 "--output-dir", str(out_dir), "--max-samples", "2"]) == 0
+    man = json.load(open(out_dir / "manifest.json"))
+    assert man["total_clips"] == 2
+    for row in man["clips"]:
+        assert (out_dir / row["path"]).exists()
+        assert row["duration"] > 0
