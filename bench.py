@@ -118,7 +118,8 @@ def main():
     # batched AR decode throughput (continuous-batching proxy): B sequences
     # decoded concurrently in one jitted loop
     batched_tok_s = None
-    if os.environ.get("BENCH_BATCHED", "1") != "0":
+    try:
+      if os.environ.get("BENCH_BATCHED", "1") != "0":
         B = int(os.environ.get("BENCH_BATCH", "8"))
         spk = engine.prepare_speaker(prompt, sr, cache_key="bench")
         emo_cond = spk.spk_cond_emb
@@ -145,11 +146,14 @@ def main():
         batched_tok_s = B * n_codes / bt
         log(f"batched decode B={B}: {bt:.2f}s -> {batched_tok_s:.0f} tok/s "
             f"({batched_tok_s * 0.02:.1f} audio-sec/s decode-only)")
+    except Exception as e:  # optional section: never lose the metric line
+        log(f"batched decode failed: {e!r}")
 
     # batched END-TO-END: one request of B segments through one AR loop +
     # batched latent/s2mel/vocoder (engine batched mode)
     batched_e2e_audio_s = None
-    if os.environ.get("BENCH_BATCHED_E2E", "1") != "0":
+    try:
+      if os.environ.get("BENCH_BATCHED_E2E", "1") != "0":
         Bseg = int(os.environ.get("BENCH_BATCH", "8"))
         segs = [text for _ in range(Bseg)]
         for rep in range(2):  # compile then time
@@ -164,6 +168,8 @@ def main():
             f"batched e2e B={Bseg}: wall={bt:.2f}s audio={out['duration_sec']:.2f}s"
             f" -> {batched_e2e_audio_s:.2f} audio-sec/s (rtf {bt / out['duration_sec']:.3f})"
         )
+    except Exception as e:
+        log(f"batched e2e failed: {e!r}")
 
     baseline_audio_per_s = 9.25 / 169.4  # BASELINE.md row 1
     print(
