@@ -209,9 +209,9 @@ def anti_alias_snake_pallas_t(
     B, T, C_in = x.shape
     H = 128
     C8 = -(-C_in // 8) * 8  # f32 sublane tile
-    # same scoped-VMEM discipline as the channel-major wrapper; lane blocks
-    # must stay 128-multiples for aligned DMA starts
-    while block_t > 256 and block_t * C8 * 4 * 5 > 6 * 1024 * 1024:
+    # same scoped-VMEM discipline as the channel-major wrapper (~1 MB per
+    # block-sized buffer); lane blocks stay 128-multiples for aligned DMA
+    while block_t > 256 and block_t * C8 * 4 > 1024 * 1024:
         block_t //= 2
     n_blocks = -(-T // block_t)
     T_pad = n_blocks * block_t
@@ -262,10 +262,10 @@ def anti_alias_snake_pallas(
     # zero-pad channels up. Padded lanes stay exactly 0 through the whole
     # pipeline (FIRs are linear; snake(0) = 0 + sin(0)^2/beta = 0).
     Cp = -(-C // 128) * 128
-    # scoped VMEM is ~16 MB; the kernel's buffers (in scratch + 2 up phases +
-    # double-buffered out) scale with block_t * C — shrink blocks for wide
-    # stages (C=768 at block 512 OOMs at batch shapes)
-    while block_t > 128 and block_t * Cp * 4 * 5 > 6 * 1024 * 1024:
+    # scoped VMEM is 16 MB and Mosaic's accounting holds ~12-15 live
+    # block-sized buffers (scratch, up phases, iotas, FIR temporaries,
+    # double-buffered out): keep each under ~1 MB
+    while block_t > 128 and block_t * Cp * 4 > 1024 * 1024:
         block_t //= 2
     n_blocks = -(-T // block_t)
     T_pad = n_blocks * block_t
