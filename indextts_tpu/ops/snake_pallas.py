@@ -46,22 +46,38 @@ def _filters():
 
 
 def _kernel(x_hbm, alpha_ref, beta_ref, o_ref, scratch, up_e_ref, up_o_ref,
-            sem, *, block_t: int, T: int, logscale: bool):
+            sem, *, block_t: int, T: int, logscale: bool, n_blocks: int,
+            total: int):
     even_taps, odd_taps, down_taps = _filters()
     b = pl.program_id(0)
     i = pl.program_id(1)
     block_start = i * block_t
 
     # DMA the input block + halo: x_hbm is (B, T_pad + 2*HALO, C) edge-padded;
-    # local index p maps to global x index (block_start + p - HALO)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(block_start, block_t + 2 * HALO), :],
-        scratch,
-        sem,
-    )
-    cp.start()
-    cp.wait()
-    x = scratch[:]  # (BT + 16, C) ; x[p] == x_global[block_start + p - 8]
+    # local index p maps to global x index (block_start + p - HALO). Blocks
+    # are double-buffered across grid steps (issue g+1's copy before g's
+    # compute) so the HBM read overlaps the VPU work.
+    def dma(slot, bb, ii):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * block_t, block_t + 2 * HALO), :],
+            scratch.at[slot], sem.at[slot],
+        )
+
+    g = b * n_blocks + i
+    slot = jax.lax.rem(g, 2)
+    nxt = jax.lax.rem(g + 1, 2)
+
+    @pl.when(g == 0)
+    def _():
+        dma(slot, b, i).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        last = i + 1 >= n_blocks
+        dma(nxt, jnp.where(last, b + 1, b), jnp.where(last, 0, i + 1)).start()
+
+    dma(slot, b, i).wait()
+    x = scratch[slot]  # (BT + 16, C) ; x[p] == x_global[block_start + p - 8]
     C = x.shape[1]
 
     # phases for t in [-3, BT+3): q = t - (block_start - 3) local phase index
@@ -123,22 +139,40 @@ def _kernel(x_hbm, alpha_ref, beta_ref, o_ref, scratch, up_e_ref, up_o_ref,
 
 
 def _kernel_t(x_hbm, alpha_ref, beta_ref, o_ref, scratch, sem, *,
-              block_t: int, T: int, logscale: bool):
+              block_t: int, T: int, logscale: bool, n_blocks: int,
+              total: int):
     """Time-on-lanes variant: x is (B, C8, T) so the FIRs run as static lane
     slices at full lane utilization regardless of channel count. The lane
-    halo is 128 (DMA alignment); the FIR only needs 8."""
+    halo is 128 (DMA alignment); the FIR only needs 8. Input blocks are
+    double-buffered across grid steps: block g+1's DMA is issued before
+    block g's compute, so HBM reads overlap the VPU work."""
     even_taps, odd_taps, down_taps = _filters()
     H = 128
     b = pl.program_id(0)
     i = pl.program_id(1)
     block_start = i * block_t
 
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(block_start, block_t + 2 * H)], scratch, sem
-    )
-    cp.start()
-    cp.wait()
-    x = scratch[:]  # (C8, BT + 256); x[:, p] == x_global[block_start + p - 128]
+    def dma(slot, bb, ii):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, :, pl.ds(ii * block_t, block_t + 2 * H)],
+            scratch.at[slot], sem.at[slot],
+        )
+
+    g = b * n_blocks + i
+    slot = jax.lax.rem(g, 2)
+    nxt = jax.lax.rem(g + 1, 2)
+
+    @pl.when(g == 0)
+    def _():
+        dma(slot, b, i).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        last = i + 1 >= n_blocks
+        dma(nxt, jnp.where(last, b + 1, b), jnp.where(last, 0, i + 1)).start()
+
+    dma(slot, b, i).wait()
+    x = scratch[slot]  # (C8, BT + 256); x[:, p] == x_global[block_start + p - 128]
     C8 = x.shape[0]
     n_up = block_t + 6
 
@@ -222,7 +256,10 @@ def anti_alias_snake_pallas_t(
     a2 = jnp.pad(alpha.reshape(C_in, 1), ((0, C8 - C_in), (0, 0))).astype(jnp.float32)
     b2 = jnp.pad(beta.reshape(C_in, 1), ((0, C8 - C_in), (0, 0))).astype(jnp.float32)
 
-    kern = functools.partial(_kernel_t, block_t=block_t, T=T, logscale=logscale)
+    kern = functools.partial(
+        _kernel_t, block_t=block_t, T=T, logscale=logscale,
+        n_blocks=n_blocks, total=B * n_blocks,
+    )
     out = pl.pallas_call(
         kern,
         grid=(B, n_blocks),
@@ -234,8 +271,8 @@ def anti_alias_snake_pallas_t(
         out_specs=pl.BlockSpec((None, C8, block_t), lambda b, i: (b, 0, i)),
         out_shape=jax.ShapeDtypeStruct((B, C8, T_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((C8, block_t + 2 * H), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C8, block_t + 2 * H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xt, a2, b2)
@@ -277,7 +314,10 @@ def anti_alias_snake_pallas(
     b2 = jnp.pad(beta.reshape(1, C), ((0, 0), (0, Cp - C))).astype(jnp.float32)
     C = Cp
 
-    kern = functools.partial(_kernel, block_t=block_t, T=T, logscale=logscale)
+    kern = functools.partial(
+        _kernel, block_t=block_t, T=T, logscale=logscale,
+        n_blocks=n_blocks, total=B * n_blocks,
+    )
     out = pl.pallas_call(
         kern,
         grid=(B, n_blocks),
@@ -289,10 +329,10 @@ def anti_alias_snake_pallas(
         out_specs=pl.BlockSpec((None, block_t, C), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, C), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block_t + 2 * HALO, C), jnp.float32),
+            pltpu.VMEM((2, block_t + 2 * HALO, C), jnp.float32),
             pltpu.VMEM((block_t + 6, C), jnp.float32),
             pltpu.VMEM((block_t + 6, C), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, a2, b2)

@@ -17,6 +17,7 @@ the repetition penalty).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Any, Optional, Tuple
 
@@ -127,6 +128,24 @@ class GPTDecoder:
         sampling: SamplingConfig = SamplingConfig(),
         param_dtype: Any = jnp.float32,
     ):
+        # attn_impl="auto": batch-aware dispatch. Measured on v5e (w8a8):
+        # the fused-dequant int8 Pallas kernel wins at B=1 (965 vs 891 tok/s
+        # short ctx, +3% at 1500 ctx) but loses at B>=8 (2397 vs 3824) where
+        # XLA streams the whole batch's cache better. So: pallas_q8 for
+        # single-stream generate, xla(+kv_quant) for everything else.
+        self._q8_sibling: Optional["GPTDecoder"] = None
+        if getattr(model, "attn_impl", "xla") == "auto":
+            base = model.clone(attn_impl="xla")
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:  # pragma: no cover - backend init failure
+                on_tpu = False
+            if on_tpu:
+                self._q8_sibling = GPTDecoder(
+                    model.clone(attn_impl="pallas_q8", kv_quant=False),
+                    cfg, sampling, param_dtype,
+                )
+            model = base
         self.model = model
         self.cfg = cfg
         self.sampling = sampling
@@ -136,6 +155,14 @@ class GPTDecoder:
             static_argnames=("max_new",),
         )(self._generate)
         self._cond_prefill_jit = None
+
+    @property
+    def supports_cond_kv(self) -> bool:
+        """Whether generate(cond_kv=...) is usable: prefix-KV reuse keeps the
+        standard float cache layout (int8/blocked layouts re-prefill)."""
+        return not getattr(self.model, "kv_quant", False) and getattr(
+            self.model, "attn_impl", "xla"
+        ) in ("xla", "xla_bucketed")
 
     # -- prompt assembly (host side, tiny) ---------------------------------
 
@@ -164,7 +191,7 @@ class GPTDecoder:
     # -- jitted generation --------------------------------------------------
 
     # token-block size of the int8 block-major cache (attn_impl="pallas_q8")
-    BLKQ = 256
+    BLKQ = int(os.environ.get("TARS_BLKQ", "256"))
 
     def _decode_step_call(self, params, emb, caches, cache_index,
                           kv_valid_len, cap_mask):
@@ -834,6 +861,16 @@ class GPTDecoder:
             assert getattr(self.model, "attn_impl", "xla") not in (
                 "pallas_ragged", "pallas_q8"
             ), "prefix-KV reuse is implemented for the standard cache layout"
+        if (
+            self._q8_sibling is not None
+            and cond_kv is None
+            and conds_latent.shape[0] == 1
+        ):
+            return self._q8_sibling.generate(
+                params, conds_latent, text_ids, text_pos, text_valid, key,
+                max_new=max_new, temperature=temperature, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+            )
         codes, lengths = self._generate_jit(
             params,
             conds_latent,

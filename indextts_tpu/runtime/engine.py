@@ -471,7 +471,9 @@ class IndexTTS2Engine:
             )
         else:
             cond_kv = None
-            if cond_kv_key is not None:
+            # int8 cache layouts re-prefill (prefix reuse keeps the float
+            # layout); guard so kv_quant serving never trips the decode assert
+            if cond_kv_key is not None and self.decoder.supports_cond_kv:
                 cond_kv = self._cond_kv_cache.get(cond_kv_key)
                 if cond_kv is None:
                     cond_kv = self.decoder.cond_prefill(

@@ -385,3 +385,94 @@ def test_decode_loop_pallas_q8_matches_kv_quant_xla(rng):
         ).codes
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_attn_impl_auto_dispatch(rng):
+    """attn_impl="auto" (the serving default) resolves the decoder to the xla
+    path on non-TPU hosts, and — when the pallas_q8 sibling exists — routes
+    exactly the B=1/no-prefix generate calls through it, token-identically."""
+    import jax
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.models.unified_voice import UnifiedVoice
+    from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+
+    cfg = GPTConfig(
+        model_dim=64, layers=2, heads=4, max_mel_tokens=64, max_text_tokens=32,
+        number_text_tokens=50, number_mel_codes=36, start_mel_token=34,
+        stop_mel_token=35,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=4, num_blocks=1
+        ),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=32, attention_heads=2, num_blocks=1
+        ),
+    )
+    base = UnifiedVoice(cfg, kv_quant=True)
+    params = base.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64)), jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
+        jnp.zeros((1, 6), jnp.int32), jnp.asarray([6]), jnp.zeros((1, 64)),
+        method=UnifiedVoice.forward_latent,
+    )["params"]
+    ph = base.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64)),
+        method=UnifiedVoice.mel_logits_from_hidden,
+    )["params"]
+    for k2, v2 in ph.items():
+        params.setdefault(k2, v2)
+    params = {"params": params}
+    sc = SamplingConfig(do_sample=False, use_repetition_penalty=False)
+
+    amodel = UnifiedVoice(cfg, kv_quant=True, attn_impl="auto")
+    dec = GPTDecoder(amodel, cfg, sc)
+    # resolution: decoder runs xla(+kv_quant); no sibling on a CPU host
+    assert dec.model.attn_impl == "xla"
+    assert dec.model.kv_quant
+    assert dec._q8_sibling is None
+
+    # simulate the TPU sibling with the interpret-mode kernel
+    dec._q8_sibling = GPTDecoder(
+        amodel.clone(attn_impl="pallas_q8", kv_quant=False,
+                     pallas_interpret=True),
+        cfg, sc,
+    )
+    dec._q8_sibling.BLKQ = 32
+    calls = []
+    inner = dec._q8_sibling.generate
+    dec._q8_sibling.generate = lambda *a, **kw: (
+        calls.append(1) or inner(*a, **kw)
+    )
+
+    text = rng.integers(2, 50, (1, 9))
+    conds1 = jnp.asarray(rng.standard_normal((1, 34, 64)), jnp.float32)
+    ids, pos, valid = dec.build_text_prompt_arrays(text, np.array([9]), 9)
+    args1 = (params, conds1, jnp.asarray(ids), jnp.asarray(pos),
+             jnp.asarray(valid))
+    want = np.asarray(
+        GPTDecoder(base, cfg, sc).generate(
+            *args1, jax.random.PRNGKey(0), max_new=12).codes
+    )
+    got = np.asarray(dec.generate(*args1, jax.random.PRNGKey(0), max_new=12).codes)
+    np.testing.assert_array_equal(got, want)
+    assert calls == [1]  # B=1 routed through the q8 sibling
+
+    # B=2 stays on the xla path
+    text2 = rng.integers(2, 50, (2, 9))
+    conds2 = jnp.asarray(rng.standard_normal((2, 34, 64)), jnp.float32)
+    ids2, pos2, valid2 = dec.build_text_prompt_arrays(text2, np.array([9, 5]), 9)
+    dec.generate(params, conds2, jnp.asarray(ids2), jnp.asarray(pos2),
+                 jnp.asarray(valid2), jax.random.PRNGKey(0), max_new=8)
+    assert calls == [1]
+
+    # kv_quant decoders refuse prefix reuse (int8 layouts re-prefill) — the
+    # engine consults this before building cond_kv
+    assert not dec.supports_cond_kv
+
+    # float-cache auto decoder: prefix-KV calls stay on the xla path (the
+    # sibling keeps its own layout)
+    decf = GPTDecoder(UnifiedVoice(cfg, attn_impl="auto"), cfg, sc)
+    assert decf.supports_cond_kv
+    decf._q8_sibling = dec._q8_sibling
+    ck = decf.cond_prefill(params, conds1)
+    decf.generate(*args1, jax.random.PRNGKey(0), max_new=8, cond_kv=ck)
+    assert calls == [1]
