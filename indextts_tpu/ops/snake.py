@@ -128,8 +128,11 @@ def anti_alias_snake(
             # transposed kernel puts TIME on the lanes and channels on the
             # 8-wide sublanes, so lane utilization stays full where the
             # channel-major layout would waste up to 5.3x
+            # threshold from the v5e per-stage sweep (amortized): C-major
+            # wins at ratio <= 1.11 (C=576,1152,2304), T-major from 1.33 up
+            # (C=288: 2.22 vs 2.45ms; C=144: 2.06 vs 3.02; C=24: 0.98 vs 2.88)
             pad_ratio = (-(-C // 128) * 128) / C
-            if pad_ratio <= 1.5:
+            if pad_ratio <= 1.3:
                 from indextts_tpu.ops.snake_pallas import anti_alias_snake_pallas
 
                 return anti_alias_snake_pallas(x, alpha, beta, logscale)
