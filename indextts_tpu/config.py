@@ -337,6 +337,10 @@ class RuntimeConfig:
     # weight HBM stream — the B=1 decode throughput ceiling. Small fidelity
     # cost (tests/test_int8.py bounds it); composable with kv_quant.
     gpt_quantize: bool = False
+    # quantize the waveform to PCM16 ON DEVICE before the host transfer
+    # (reference output semantics: clamp(32767*wav).int16, infer_v2.py:866;
+    # halves d2h bytes). The engine's public float API rescales by 1/32767.
+    device_pcm16: bool = True
     # static decode-loop bucket sizes (text prompt padded to one of these)
     text_buckets: Tuple[int, ...] = (32, 64, 128)
     # KV cache capacity of the jitted decode program
@@ -355,6 +359,7 @@ class RuntimeConfig:
             attn_impl=os.environ.get("TARS_ATTN_IMPL", "auto"),
             kv_quant=_env_flag("TARS_KV_QUANT", False),
             gpt_quantize=_env_flag("TARS_GPT_QUANTIZE", False),
+            device_pcm16=_env_flag("TARS_DEVICE_PCM16", True),
         )
 
 

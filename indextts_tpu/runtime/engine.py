@@ -178,6 +178,7 @@ class IndexTTS2Engine:
             self._s2mel_mel, static_argnames=("target_len", "total_len")
         )
         self._vocoder_program = jax.jit(self._vocode)
+        self._vocoder_pcm16_program = jax.jit(self._vocode_pcm16)
         self._quantize_program = jax.jit(
             lambda p, x: self.repcodec.apply({"params": p}, x, method=RepCodec.quantize)
         )
@@ -285,6 +286,14 @@ class IndexTTS2Engine:
 
     def _vocode(self, p_bigvgan, mel):
         return self.bigvgan.apply({"params": p_bigvgan}, mel)
+
+    def _vocode_pcm16(self, p_bigvgan, mel):
+        """Vocoder + on-device PCM16 quantization (reference semantics:
+        torch.clamp(32767*wav, -32767, 32767).type(int16), infer_v2.py:866).
+        Halves the device->host waveform transfer — significant under the
+        axon tunnel's ~20 MB/s d2h — and removes the host-side requantize."""
+        wav = self.bigvgan.apply({"params": p_bigvgan}, mel)
+        return jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
 
     # ------------------------------------------------------------------
     # conditioning extraction (infer_v2.py:618-666)
@@ -596,8 +605,12 @@ class IndexTTS2Engine:
                     ((0, 0), (0, 0), (0, pad_frames)),
                     constant_values=float(np.log(1e-5)),
                 )
-        wav = self._vocoder_program(self.p_bigvgan, mel_out)
-        wav = np.asarray(wav)[0]
+        if self.cfg.runtime.device_pcm16:
+            wav = self._vocoder_pcm16_program(self.p_bigvgan, mel_out)
+            wav = np.asarray(wav)[0].astype(np.float32) / 32767.0
+        else:
+            wav = self._vocoder_program(self.p_bigvgan, mel_out)
+            wav = np.asarray(wav)[0]
         wav = wav[: target_len_exact * self.cfg.vocoder.total_upsample]
         t_voc = time.perf_counter() - t3
 
@@ -726,7 +739,12 @@ class IndexTTS2Engine:
             (frame_idx[None, :] < target_exact[:, None])[:, None, :]
         )
         mel_out = jnp.where(mel_np_mask, mel_out, float(np.log(1e-5)))
-        wavs = np.asarray(self._vocoder_program(self.p_bigvgan, mel_out))
+        if self.cfg.runtime.device_pcm16:
+            wavs = np.asarray(
+                self._vocoder_pcm16_program(self.p_bigvgan, mel_out)
+            ).astype(np.float32) / 32767.0
+        else:
+            wavs = np.asarray(self._vocoder_program(self.p_bigvgan, mel_out))
         up = self.cfg.vocoder.total_upsample
         return [
             wavs[b, : int(target_exact[b]) * up].astype(np.float32)
