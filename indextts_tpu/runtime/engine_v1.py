@@ -45,6 +45,7 @@ class IndexTTSV1Engine:
         tokenizer=None,
         bucket_max_size: int = 4,
         gpt_dtype=jnp.float32,
+        device_pcm16: bool = True,
     ):
         """params: {"gpt": …, "bigvgan": …} flax trees
         (torch_convert.convert_unified_voice_v1 / convert_bigvgan_v1)."""
@@ -74,9 +75,19 @@ class IndexTTSV1Engine:
                 method=UnifiedVoiceV1.forward_latent,
             )
         )
-        self._voc_program = jax.jit(
-            lambda p, lat, ref: self.bigvgan.apply({"params": p}, lat, ref)
-        )
+        # frozen at construction: the jitted program bakes this branch in
+        self.device_pcm16 = bool(device_pcm16)
+        pcm16 = self.device_pcm16
+
+        def _voc(p, lat, ref):
+            wav = self.bigvgan.apply({"params": p}, lat, ref)
+            if pcm16:
+                # reference v1 output semantics (infer.py:493 clamp + int16);
+                # halves the device->host waveform transfer
+                return jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
+            return wav
+
+        self._voc_program = jax.jit(_voc)
         self._cond_cache: Dict[str, Tuple[jnp.ndarray, int]] = {}
         self._rng = jax.random.PRNGKey(0)
 
@@ -168,6 +179,8 @@ class IndexTTSV1Engine:
                     self.p_voc, latents, jnp.repeat(cond_mel, B, axis=0)
                 )
             )
+            if self.device_pcm16:
+                wavs = wavs.astype(np.float32) / 32767.0
             samples_per_code = self.gpt_cfg.mel_length_compression
             for bi, si in enumerate(batch_idx):
                 n = int(code_lens[bi]) * samples_per_code
