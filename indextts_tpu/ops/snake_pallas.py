@@ -45,7 +45,7 @@ def _filters():
     return even_taps, odd_taps, down_taps
 
 
-def _kernel(x_hbm, alpha_ref, beta_ref, o_ref, scratch, up_e_ref, up_o_ref,
+def _kernel(x_hbm, alpha_ref, beta_ref, o_ref, scratch,
             sem, *, block_t: int, T: int, logscale: bool, n_blocks: int,
             total: int):
     even_taps, odd_taps, down_taps = _filters()
@@ -110,15 +110,13 @@ def _kernel(x_hbm, alpha_ref, beta_ref, o_ref, scratch, up_e_ref, up_o_ref,
 
     # edge clamping of the up signal at global boundaries (cross-phase):
     # up[m<0] := up[0] (= even phase t=0), up[m>2T-1] := up[2T-1] (= odd
-    # phase t=T-1)
+    # phase t=T-1). The boundary row is selected by masked reduction over the
+    # sublane axis (exactly one row matches inside the affected block) — no
+    # VMEM staging refs, which keeps the scoped-VMEM budget for the doubled
+    # DMA scratch (2x block-sized staging refs OOM'd at C=2304 batched).
     g = jax.lax.broadcasted_iota(jnp.int32, (n_up, C), 0) + (block_start - 3)
-    # dynamic row reads must go through refs: stage phases into VMEM scratch
-    up_e_ref[:] = up_even
-    up_o_ref[:] = up_odd
-    q0 = jnp.clip(3 - block_start, 0, n_up - 1)
-    row0 = up_e_ref[pl.ds(q0, 1), :]
-    qT = jnp.clip((T - 1) - block_start + 3, 0, n_up - 1)
-    rowT = up_o_ref[pl.ds(qT, 1), :]
+    row0 = jnp.sum(jnp.where(g == 0, up_even, 0.0), axis=0, keepdims=True)
+    rowT = jnp.sum(jnp.where(g == T - 1, up_odd, 0.0), axis=0, keepdims=True)
     up_even = jnp.where(g < 0, row0, up_even)
     up_odd = jnp.where(g < 0, row0, up_odd)
     up_even = jnp.where(g > T - 1, rowT, up_even)
@@ -330,8 +328,6 @@ def anti_alias_snake_pallas(
         out_shape=jax.ShapeDtypeStruct((B, T_pad, C), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, block_t + 2 * HALO, C), jnp.float32),
-            pltpu.VMEM((block_t + 6, C), jnp.float32),
-            pltpu.VMEM((block_t + 6, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
