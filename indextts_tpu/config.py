@@ -337,6 +337,12 @@ class RuntimeConfig:
     # weight HBM stream — the B=1 decode throughput ceiling. Small fidelity
     # cost (tests/test_int8.py bounds it); composable with kv_quant.
     gpt_quantize: bool = False
+    # B=1 decode GEMV implementation: "auto" (the streaming int8 Pallas
+    # kernels of ops/gemv.py when gpt_quantize is on and the backend is a
+    # real TPU; XLA otherwise), "xla", "pallas". The kernels fuse the MLP
+    # (c_fc -> gelu_new -> c_proj) into one pass and stream each weight byte
+    # exactly once; they only engage on single-row (B*T == 1) decode traces.
+    gemv_impl: str = "auto"
     # quantize the waveform to PCM16 ON DEVICE before the host transfer
     # (reference output semantics: clamp(32767*wav).int16, infer_v2.py:866;
     # halves d2h bytes). The engine's public float API rescales by 1/32767.
@@ -359,6 +365,7 @@ class RuntimeConfig:
             attn_impl=os.environ.get("TARS_ATTN_IMPL", "auto"),
             kv_quant=_env_flag("TARS_KV_QUANT", False),
             gpt_quantize=_env_flag("TARS_GPT_QUANTIZE", False),
+            gemv_impl=os.environ.get("TARS_GEMV_IMPL", "auto"),
             device_pcm16=_env_flag("TARS_DEVICE_PCM16", True),
         )
 

@@ -41,6 +41,14 @@ def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _quant_row(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic per-row int8 activation quantization (W8A8 input side)."""
+    xf = x.astype(jnp.float32)
+    a_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + 1e-12
+    x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    return x_q, a_scale
+
+
 class Conv1D(nn.Module):
     """HF GPT-2 'Conv1D': y = x @ W + b with W stored (in, out).
 
@@ -48,13 +56,20 @@ class Conv1D(nn.Module):
     dynamic per-row activation scale; the int8xint8->int32 contraction runs on
     the MXU at double throughput and half the HBM weight traffic (the TPU
     analog of the reference's torch.ao dynamic quantization,
-    utils/vram_utils.py:13-52)."""
+    utils/vram_utils.py:13-52).
+
+    gemv=True additionally routes single-row calls (B*T == 1: the B=1 decode
+    step) through the streaming Pallas GEMV (ops/gemv.py) when the dims are
+    tile-aligned — same contraction, weight bytes read once at near-peak HBM
+    bandwidth."""
 
     features: int
     quantize: bool = False
+    gemv: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         if not self.quantize:
             w = self.param(
@@ -70,10 +85,27 @@ class Conv1D(nn.Module):
         w_scale = self.param(
             "kernel_scale", nn.initializers.ones, (self.features,)
         )
+        if return_params:
+            # fused callers (GPT2MLP's Pallas MLP) read the params directly
+            return w_q, w_scale, b
+
+        d = x.shape[-1]
+        lead = 1
+        for s in x.shape[:-1]:
+            lead *= s
+        if self.gemv and lead == 1:
+            from indextts_tpu.ops import gemv as gemv_ops
+
+            if gemv_ops.supports(d, self.features):
+                x_q, a_scale = _quant_row(x.reshape(1, d))
+                y = gemv_ops.gemv_w8(
+                    x_q, a_scale.reshape(1), w_q, w_scale, b,
+                    interpret=self.pallas_interpret,
+                )
+                return y.reshape(x.shape[:-1] + (self.features,)).astype(x.dtype)
+
         # dynamic per-row activation quantization
-        xf = x.astype(jnp.float32)
-        a_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + 1e-12
-        x_q = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+        x_q, a_scale = _quant_row(x)
         y = jax.lax.dot_general(
             x_q,
             w_q,
@@ -127,6 +159,8 @@ class GPT2Attention(nn.Module):
     quantize: bool = False
     attn_impl: str = "xla"  # "xla" | "xla_bucketed" | "pallas_ragged" (decode)
     kv_quant: bool = False  # int8 KV cache (decode only)
+    gemv: bool = False  # Pallas streaming GEMV for B=1 decode (ops/gemv.py)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(
@@ -147,7 +181,8 @@ class GPT2Attention(nn.Module):
         H = self.n_head
         Dh = D // H
 
-        qkv = Conv1D(3 * D, quantize=self.quantize, name="c_attn")(x)
+        qkv = Conv1D(3 * D, quantize=self.quantize, gemv=self.gemv,
+             pallas_interpret=self.pallas_interpret, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -176,7 +211,8 @@ class GPT2Attention(nn.Module):
                 interpret=interp,
             )  # (B, H, Dh)
             ctx = ctx.astype(x.dtype).reshape(B, 1, D)
-            out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+            out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
             return out, (ck, cv)
 
         if kv_cache is not None and self.attn_impl == "pallas_q8":
@@ -219,7 +255,8 @@ class GPT2Attention(nn.Module):
                 interpret=interp,
             )  # (B, H, Dh) f32
             ctx = ctx.astype(x.dtype).reshape(B, 1, D)
-            out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+            out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
             return out, (k8_b, v8_b, ksc_b, vsc_b)
 
         if kv_cache is not None and self.kv_quant:
@@ -260,7 +297,8 @@ class GPT2Attention(nn.Module):
             pv = (probs * vsc_l[:, :, None, :]).astype(x.dtype)
             ctx = jnp.einsum("bhts,bhsd->bhtd", pv, v8.astype(x.dtype))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
-            out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+            out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
             return out, (ck, cv, ksc, vsc)
 
         if kv_cache is not None:
@@ -336,7 +374,8 @@ class GPT2Attention(nn.Module):
                         lim, [mk(m) for m in range(nbr)], q, k, v, attn_bias
                     )
                     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
-                    out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+                    out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
                     return out, new_kv
         else:
             new_kv = (k, v)
@@ -347,20 +386,47 @@ class GPT2Attention(nn.Module):
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
-        out = Conv1D(D, quantize=self.quantize, name="c_proj")(ctx)
+        out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
         return out, new_kv
 
 
 class GPT2MLP(nn.Module):
     dtype: Any = jnp.float32
     quantize: bool = False
+    gemv: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
         D = x.shape[-1]
-        h = Conv1D(4 * D, quantize=self.quantize, name="c_fc")(x)
+        fc = Conv1D(4 * D, quantize=self.quantize, name="c_fc")
+        pj = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     pallas_interpret=self.pallas_interpret, name="c_proj")
+        lead = 1
+        for s in x.shape[:-1]:
+            lead *= s
+        if self.quantize and self.gemv and lead == 1:
+            from indextts_tpu.ops import gemv as gemv_ops
+
+            if gemv_ops.supports_mlp(D, 4 * D):
+                # fused fc -> gelu_new -> c_proj in one Pallas kernel: both
+                # weight matrices stream through VMEM exactly once (the MLP
+                # is 2/3 of the decode step's weight bytes). The dummy-zeros
+                # arg only sets c_proj's in_features; XLA DCEs it.
+                w1, s1, b1 = fc(x, return_params=True)
+                w2, s2, b2 = pj(
+                    jnp.zeros((1, 1, 4 * D), x.dtype), return_params=True
+                )
+                x_q, a_scale = _quant_row(x.reshape(1, D))
+                y = gemv_ops.mlp_w8(
+                    x_q, a_scale.reshape(1), w1, s1, b1, w2, s2, b2,
+                    interpret=self.pallas_interpret,
+                )
+                return y.reshape(x.shape).astype(x.dtype)
+        h = fc(x)
         h = gelu_new(h)
-        return Conv1D(D, quantize=self.quantize, name="c_proj")(h)
+        return pj(h)
 
 
 class GPT2Block(nn.Module):
@@ -369,17 +435,22 @@ class GPT2Block(nn.Module):
     quantize: bool = False
     attn_impl: str = "xla"
     kv_quant: bool = False
+    gemv: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, attn_bias, kv_cache=None, cache_index=None):
         h = nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=self.dtype)(x)
         attn_out, new_kv = GPT2Attention(
             self.n_head, self.dtype, self.quantize, self.attn_impl,
-            self.kv_quant, name="attn"
+            self.kv_quant, gemv=self.gemv,
+            pallas_interpret=self.pallas_interpret, name="attn"
         )(h, attn_bias, kv_cache, cache_index)
         x = x + attn_out
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2", dtype=self.dtype)(x)
-        x = x + GPT2MLP(self.dtype, self.quantize, name="mlp")(h)
+        x = x + GPT2MLP(self.dtype, self.quantize, gemv=self.gemv,
+                        pallas_interpret=self.pallas_interpret,
+                        name="mlp")(h)
         return x, new_kv
 
 
@@ -396,6 +467,8 @@ class GPT2Core(nn.Module):
     pallas_interpret: bool = False
     # int8 KV cache for decode (kv_caches = (ks, vs, ksc, vsc))
     kv_quant: bool = False
+    # "pallas": route B=1 decode GEMVs/MLP through ops/gemv.py kernels
+    gemv_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -432,7 +505,9 @@ class GPT2Core(nn.Module):
             new_ks, new_vs = [], []
             for i in range(self.n_layer):
                 x, (k, v) = GPT2Block(
-                    self.n_head, self.dtype, self.quantize, name=f"h_{i}"
+                    self.n_head, self.dtype, self.quantize,
+                    gemv=self.gemv_impl == "pallas",
+                    pallas_interpret=self.pallas_interpret, name=f"h_{i}"
                 )(x, bias)
                 new_ks.append(k)
                 new_vs.append(v)
@@ -452,6 +527,8 @@ class GPT2Core(nn.Module):
             for i in range(self.n_layer):
                 x, (ks, vs) = GPT2Block(
                     self.n_head, self.dtype, self.quantize, self.attn_impl,
+                    gemv=self.gemv_impl == "pallas",
+                    pallas_interpret=self.pallas_interpret,
                     name=f"h_{i}",
                 )(
                     x, None,
@@ -476,6 +553,8 @@ class GPT2Core(nn.Module):
             for i in range(self.n_layer):
                 x, caches = GPT2Block(
                     self.n_head, self.dtype, self.quantize, self.attn_impl,
+                    gemv=self.gemv_impl == "pallas",
+                    pallas_interpret=self.pallas_interpret,
                     name=f"h_{i}",
                 )(
                     x, None,
@@ -510,7 +589,10 @@ class GPT2Core(nn.Module):
                 for i in range(self.n_layer):
                     x, caches = GPT2Block(
                         self.n_head, self.dtype, self.quantize,
-                        self.attn_impl, kv_quant=True, name=f"h_{i}",
+                        self.attn_impl, kv_quant=True,
+                        gemv=self.gemv_impl == "pallas",
+                        pallas_interpret=self.pallas_interpret,
+                        name=f"h_{i}",
                     )(x, bias, kv_cache=caches + (i,),
                       cache_index=cache_index)
                 x = nn.LayerNorm(epsilon=1e-5, name="ln_f",
@@ -542,6 +624,8 @@ class GPT2Core(nn.Module):
             for i in range(self.n_layer):
                 x, (ks, vs) = GPT2Block(
                     self.n_head, self.dtype, self.quantize, impl,
+                    gemv=self.gemv_impl == "pallas",
+                    pallas_interpret=self.pallas_interpret,
                     name=f"h_{i}",
                 )(x, bias, kv_cache=(ks, vs, i) + extra, cache_index=cache_index)
             new_kv = (ks, vs)

@@ -42,6 +42,8 @@ class UnifiedVoice(nn.Module):
     # int8 KV cache for decode (halves decode HBM traffic; see models/gpt2.py
     # quantize_kv). Sampling path only.
     kv_quant: bool = False
+    # "pallas": B=1 decode GEMV/MLP via the streaming int8 kernels (ops/gemv)
+    gemv_impl: str = "xla"
 
     def setup(self):
         c = self.cfg
@@ -87,7 +89,7 @@ class UnifiedVoice(nn.Module):
         self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
         self.mel_head = nn.Dense(c.number_mel_codes, name="mel_head")
         self.text_head = nn.Dense(c.number_text_tokens + 1, name="text_head")
-        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, self.attn_impl, self.pallas_interpret, self.kv_quant, name="gpt")
+        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, self.attn_impl, self.pallas_interpret, self.kv_quant, gemv_impl=self.gemv_impl, name="gpt")
 
     # ------------------------------------------------------------------
     # Conditioning

@@ -1,0 +1,203 @@
+"""Streaming int8 GEMV Pallas kernels for the B=1 autoregressive decode step.
+
+Why: the B=1 decode step is pure HBM weight streaming (the MXU is >99% idle
+at one token), and XLA's W8A8 GEMVs run at ~60% of the v5e HBM roofline
+(measured 9.7/3.4/23.6 us/layer for qkv/proj/mlp vs 6/2/16 us rooflines —
+see ARCHITECTURE.md perf notes). These kernels stream the int8 weight tiles
+through VMEM with the grid pipeline (double-buffered DMA) and do the
+dequant-scale epilogue in-register, so each weight byte is read exactly once
+at near-peak bandwidth.
+
+This is the TPU counterpart of the reference accel engine's fused GEMV path
+(the reference leans on torch.compile + cuBLAS GEMV for its decode MLPs,
+indextts/accel/model_v2.py); on TPU the win comes from owning the weight
+DMA schedule rather than trusting XLA's generic fusion.
+
+Semantics: identical contraction to models/gpt2.py Conv1D's quantize branch
+(int8 x int8 -> int32 on the MXU, per-output-channel weight scales, dynamic
+per-row activation scale computed by the caller). The fused MLP kernel
+quantizes the hidden activation per BLOCK (finer than the XLA path's
+per-row absmax), so its output differs from the XLA W8A8 path within
+quantization granularity — both approximate the same float op; the
+per-block variant is strictly finer-grained.
+
+Alignment: requires in_features % 32 == 0 (int8 sublane tile) and an
+out_features block that is a multiple of 128 (lanes). `supports()` gates
+dispatch; callers fall back to the XLA path for tiny/test dims.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# target ~512KB weight tiles: big enough to amortize DMA setup, small enough
+# that double-buffering two operand streams stays well inside scoped VMEM
+_TARGET_TILE_BYTES = 512 * 1024
+
+
+def _pick_block(d: int, f: int, max_blk: int = 1536) -> int:
+    """Largest multiple-of-128 divisor of f with tile bytes closest to the
+    ~512KB target. Returns 0 if f has no multiple-of-128 divisor."""
+    best, best_cost = 0, None
+    blk = 128
+    while blk <= min(f, max_blk):
+        if f % blk == 0:
+            cost = abs(d * blk - _TARGET_TILE_BYTES)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = blk, cost
+        blk += 128
+    return best
+
+
+def supports(d: int, f: int) -> bool:
+    """Can gemv_w8 run on (d, f)? (int8 tiling + blockable out dim)."""
+    return d % 32 == 0 and d >= 128 and _pick_block(d, f) > 0
+
+
+def supports_mlp(d: int, fh: int) -> bool:
+    return (
+        d % 128 == 0
+        and d >= 128
+        and fh % 32 == 0
+        and _pick_block(d, fh) > 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# y(1,F) = (xq(1,D) . w(D,F)) * (a * s) + b
+# ---------------------------------------------------------------------------
+
+
+def _gemv_kernel(xq_ref, a_ref, w_ref, s_ref, b_ref, o_ref):
+    acc = jax.lax.dot_general(
+        xq_ref[:],
+        w_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    o_ref[:] = acc * (a_ref[0] * s_ref[:]) + b_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gemv_w8(
+    xq: jnp.ndarray,  # (1, D) int8
+    a: jnp.ndarray,  # (1,) or (1, 1) f32 activation scale
+    w_q: jnp.ndarray,  # (D, F) int8
+    w_scale: jnp.ndarray,  # (F,) f32
+    bias: jnp.ndarray,  # (F,) f32
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:  # (1, F) f32
+    d, f = w_q.shape
+    fb = _pick_block(d, f)
+    assert fb > 0, (d, f)
+    a_s = a.reshape(1).astype(jnp.float32)
+    return pl.pallas_call(
+        _gemv_kernel,
+        grid=(f // fb,),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, fb), lambda i: (0, i)),
+            pl.BlockSpec((1, fb), lambda i: (0, i)),
+            pl.BlockSpec((1, fb), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, fb), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, f), jnp.float32),
+        interpret=interpret,
+    )(
+        xq,
+        a_s,
+        w_q,
+        w_scale.astype(jnp.float32).reshape(1, f),
+        bias.astype(jnp.float32).reshape(1, f),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused MLP: out(1,D) = q8(gelu_new(xq @ fc * (a*s1) + b1)) @ fc2 * s2 + b2
+# ---------------------------------------------------------------------------
+
+
+def _mlp_kernel(xq_ref, a_ref, fc_ref, s1_ref, b1_ref, fc2_ref, s2_ref,
+                b2_ref, o_ref):
+    i = pl.program_id(0)
+    h = jax.lax.dot_general(
+        xq_ref[:],
+        fc_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = h * (a_ref[0] * s1_ref[:]) + b1_ref[:]
+    # gelu_new (models/gpt2.py): tanh-approx, computed in f32
+    h = 0.5 * h * (
+        1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h))
+    )
+    # per-block activation quantization (finer than per-row; both bound the
+    # same float op — see module docstring)
+    ha = jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0 + 1e-12
+    hq = jnp.clip(jnp.round(h / ha), -127, 127).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        hq,
+        fc2_ref[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (ha * s2_ref[:])
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = part + b2_ref[:]
+
+    @pl.when(i > 0)
+    def _():
+        o_ref[:] = o_ref[:] + part
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mlp_w8(
+    xq: jnp.ndarray,  # (1, D) int8
+    a: jnp.ndarray,  # activation scale
+    fc_q: jnp.ndarray,  # (D, FH) int8
+    fc_scale: jnp.ndarray,  # (FH,)
+    fc_bias: jnp.ndarray,  # (FH,)
+    fc2_q: jnp.ndarray,  # (FH, D) int8
+    fc2_scale: jnp.ndarray,  # (D,)
+    fc2_bias: jnp.ndarray,  # (D,)
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:  # (1, D) f32
+    d, fh = fc_q.shape
+    hb = _pick_block(d, fh)
+    assert hb > 0 and hb % 32 == 0, (d, fh)
+    a_s = a.reshape(1).astype(jnp.float32)
+    return pl.pallas_call(
+        _mlp_kernel,
+        grid=(fh // hb,),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((d, hb), lambda i: (0, i)),
+            pl.BlockSpec((1, hb), lambda i: (0, i)),
+            pl.BlockSpec((1, hb), lambda i: (0, i)),
+            pl.BlockSpec((hb, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, d), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, d), jnp.float32),
+        interpret=interpret,
+    )(
+        xq,
+        a_s,
+        fc_q,
+        fc_scale.astype(jnp.float32).reshape(1, fh),
+        fc_bias.astype(jnp.float32).reshape(1, fh),
+        fc2_q,
+        fc2_scale.astype(jnp.float32).reshape(1, d),
+        fc2_bias.astype(jnp.float32).reshape(1, d),
+    )

@@ -96,10 +96,22 @@ class IndexTTS2Engine:
         self.tokenizer = tokenizer
         self.precise = precise_shapes
 
+        gemv_impl = cfg.runtime.gemv_impl
+        if gemv_impl == "auto":
+            # the streaming GEMV kernels only pay off on a real TPU and only
+            # exist for the int8 weight layout; everything else keeps XLA
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:  # pragma: no cover - backend init failure
+                on_tpu = False
+            gemv_impl = (
+                "pallas" if (cfg.runtime.gpt_quantize and on_tpu) else "xla"
+            )
         self.gpt = UnifiedVoice(
             cfg.gpt, dtype=gpt_dtype, attn_impl=cfg.runtime.attn_impl,
             kv_quant=cfg.runtime.kv_quant,
             quantize_gpt=cfg.runtime.gpt_quantize,
+            gemv_impl=gemv_impl,
         )
         self.s2mel = S2Mel(cfg.s2mel)
         self.bigvgan = BigVGAN(cfg.vocoder, dtype=voc_dtype)
