@@ -516,11 +516,20 @@ def ragged_decode_attention_blocked_q8(
         hole_start = jnp.zeros((B,), jnp.int32)
     if hole_end is None:
         hole_end = jnp.zeros((B,), jnp.int32)
+    scalars = jnp.stack(
+        [valid_len.astype(jnp.int32), hole_start.astype(jnp.int32),
+         hole_end.astype(jnp.int32)], axis=1,
+    )
+    # "grid": the (B, NB)-grid auto-pipelined kernel (see _kernel_grid_q8);
+    # "dma": the manual double-buffered per-row kernel above
+    import os as _os
+
+    if _os.environ.get("TARS_Q8_VARIANT", "dma") == "grid":
+        return _ragged_decode_attention_grid_q8(
+            q, k8_b, v8_b, ksc_b, vsc_b, scalars, interpret=interpret
+        )
     return _ragged_decode_attention_blocked_q8(
-        q, k8_b, v8_b, ksc_b, vsc_b,
-        jnp.stack([valid_len.astype(jnp.int32), hole_start.astype(jnp.int32),
-                   hole_end.astype(jnp.int32)], axis=1),
-        interpret=interpret,
+        q, k8_b, v8_b, ksc_b, vsc_b, scalars, interpret=interpret,
     )
 
 
@@ -604,3 +613,133 @@ def ragged_decode_attention_q8_xla(q, k8_b, v8_b, ksc_b, vsc_b, valid_len,
     s = jnp.where(ok, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhs,bhsd->bhd", p, v)
+
+
+# ---------------------------------------------------------------------------
+# grid-pipelined int8 variant: grid (B, NB) with BlockSpec auto-pipelining.
+# The manual-DMA kernel above (grid (B,)) walks each row's blocks with a
+# serial fori_loop — per-block DMA-issue latency and row-boundary bubbles
+# make it lose to XLA at B>=8. Here every (row, block) pair is a grid step:
+# Pallas prefetches the next step's k/v/scale tiles (including across row
+# boundaries) while the current one computes; online-softmax state persists
+# in VMEM scratch. The scalar-prefetched index maps clamp the block index to
+# the row's valid prefix, so blocks past valid_len are neither fetched nor
+# recomputed (the clamped index repeats -> the pipeline skips the refetch).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_grid_q8(scalars_ref, q_ref, k_ref, v_ref, ksc_ref, vsc_ref,
+                    o_ref, m_ref, l_ref, acc_ref, *, blk: int, scale: float,
+                    nb_total: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    valid = scalars_ref[b, 0]
+    hole_start = scalars_ref[b, 1]
+    hole_end = scalars_ref[b, 2]
+    n_blocks = (valid + blk - 1) // blk
+    H, Dh = q_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i < n_blocks)
+    def _():
+        q3 = q_ref[:].astype(jnp.float32).reshape(H, 1, Dh)
+        k = k_ref[:].astype(jnp.float32)   # (H, Dh, blk)
+        v = v_ref[:].astype(jnp.float32)
+        ksc = ksc_ref[:][:H]               # (H, blk) (Hp-padded source)
+        vsc = vsc_ref[:][:H]
+        raw = jax.lax.dot_general(
+            q3, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                   # (H, 1, blk)
+        s = raw * ksc[:, None, :] * scale
+        start = i * blk
+        pos = jax.lax.broadcasted_iota(jnp.int32, (H, 1, blk), 2) + start
+        ok = jnp.logical_and(
+            pos < valid,
+            jnp.logical_or(pos < hole_start, pos >= hole_end),
+        )
+        s = jnp.where(ok, s, NEG_INF)
+        m_prev = m_ref[:][:, :1]            # (H, 1)
+        l_prev = l_ref[:][:, :1]
+        acc_prev = acc_ref[:]               # (H, Dh)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, :, None])  # (H, 1, blk)
+        l_new = l_prev * alpha + jnp.sum(p, axis=2)
+        pv = jax.lax.dot_general(
+            p * vsc[:, None, :], v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                   # (H, 1, Dh)
+        # full-width broadcast stores (partial-lane stores are slow on VPU)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        acc_ref[:] = acc_prev * alpha + pv[:, 0, :]
+
+    @pl.when(i == nb_total - 1)
+    def _():
+        l = l_ref[:][:, :1]
+        o_ref[:] = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ragged_decode_attention_grid_q8(
+    q: jnp.ndarray,       # (B, H, Dh)
+    k8_b: jnp.ndarray,    # (B, NB, H, Dh, blk) int8
+    v8_b: jnp.ndarray,
+    ksc_b: jnp.ndarray,   # (B, NB, Hp, blk) f32
+    vsc_b: jnp.ndarray,
+    scalars: jnp.ndarray,  # (B, 3)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, NB, H, Dh, blk = k8_b.shape
+    Hp = ksc_b.shape[2]
+    assert Hp % 8 == 0 and Hp >= H, (Hp, H)
+    scale = 1.0 / (Dh ** 0.5)
+    kern = functools.partial(
+        _kernel_grid_q8, blk=blk, scale=scale, nb_total=NB
+    )
+
+    def blk_idx(b, i, sc):
+        nb = (sc[b, 0] + blk - 1) // blk
+        return jnp.minimum(i, jnp.maximum(nb - 1, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NB),
+        in_specs=[
+            pl.BlockSpec((None, H, Dh), lambda b, i, sc: (b, 0, 0)),
+            pl.BlockSpec(
+                (None, None, H, Dh, blk),
+                lambda b, i, sc: (b, blk_idx(b, i, sc), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (None, None, H, Dh, blk),
+                lambda b, i, sc: (b, blk_idx(b, i, sc), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (None, None, Hp, blk),
+                lambda b, i, sc: (b, blk_idx(b, i, sc), 0, 0),
+            ),
+            pl.BlockSpec(
+                (None, None, Hp, blk),
+                lambda b, i, sc: (b, blk_idx(b, i, sc), 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((None, H, Dh), lambda b, i, sc: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((H, 128), jnp.float32),   # m (lane-replicated)
+            pltpu.VMEM((H, 128), jnp.float32),   # l
+            pltpu.VMEM((H, Dh), jnp.float32),    # acc
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dh), jnp.float32),
+        interpret=interpret,
+    )(scalars, q, k8_b, v8_b, ksc_b, vsc_b)

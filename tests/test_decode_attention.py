@@ -288,12 +288,16 @@ def test_gpt2core_bucketed_step_multi_branch(rng):
                                    atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("variant", ["dma", "grid"])
 @pytest.mark.parametrize("valid,holes", [
     ([100, 512, 257], None),
     ([512, 1, 384], ([34, 0, 40], [60, 0, 90])),
 ])
-def test_ragged_decode_attention_blocked_q8(rng, valid, holes):
-    """int8 block-major kernel vs the XLA reference of the same quant math."""
+def test_ragged_decode_attention_blocked_q8(rng, valid, holes, variant,
+                                            monkeypatch):
+    """int8 block-major kernels (manual-DMA and grid-pipelined variants) vs
+    the XLA reference of the same quant math."""
+    monkeypatch.setenv("TARS_Q8_VARIANT", variant)
     from indextts_tpu.models.gpt2 import quantize_kv
     from indextts_tpu.ops.decode_attention import (
         ragged_decode_attention_blocked_q8,
