@@ -169,3 +169,69 @@ def test_core_prefill_unaffected_by_gemv_flag(rng):
     want, _ = core_x.apply({"params": params}, x)
     got, _ = _mk_core("pallas").apply({"params": params}, x)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_generate_with_gemv_and_q8_attention(rng, monkeypatch):
+    """Both kernel families in one decode program (interpret): the gemv MLP
+    + grid-variant q8 attention compose without tracing/aliasing conflicts."""
+    monkeypatch.setenv("TARS_Q8_VARIANT", "grid")
+    from indextts_tpu.config import ConditionModuleConfig, GPTConfig
+    from indextts_tpu.models.unified_voice import UnifiedVoice
+    from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+    from indextts_tpu.runtime.torch_convert import quantize_gpt_tree
+
+    cfg = GPTConfig(
+        model_dim=D, layers=2, heads=4, max_mel_tokens=64, max_text_tokens=32,
+        number_text_tokens=50, number_mel_codes=36, start_mel_token=34,
+        stop_mel_token=35,
+        condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=48, attention_heads=4, num_blocks=1
+        ),
+        emo_condition_module=ConditionModuleConfig(
+            output_size=32, linear_units=32, attention_heads=2, num_blocks=1
+        ),
+    )
+    fp = UnifiedVoice(cfg)
+    B, Lt, Lm = 1, 6, 8
+    p = fp.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, 32, D)),
+        jnp.zeros((B, Lt), jnp.int32), jnp.asarray([Lt]),
+        jnp.zeros((B, Lm), jnp.int32), jnp.asarray([Lm]), jnp.zeros((B, D)),
+        method=UnifiedVoice.forward_latent,
+    )["params"]
+    ph = fp.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, D)),
+        method=UnifiedVoice.mel_logits_from_hidden,
+    )["params"]
+    for k, v in ph.items():
+        p.setdefault(k, v)
+    qp = quantize_gpt_tree(p)
+
+    qmodel = UnifiedVoice(
+        cfg, quantize_gpt=True, attn_impl="pallas_q8",
+        gemv_impl="pallas", pallas_interpret=True,
+    )
+    dec = GPTDecoder(qmodel, cfg, SamplingConfig(do_sample=False))
+    dec.BLKQ = 32
+    text = rng.integers(2, 50, (1, 5))
+    ids, pos, valid = dec.build_text_prompt_arrays(text, np.array([5]), 5)
+    conds = jnp.asarray(rng.standard_normal((1, 34, D)), jnp.float32) * 0.1
+    res = dec.generate(
+        {"params": qp}, conds, jnp.asarray(ids), jnp.asarray(pos),
+        jnp.asarray(valid), jax.random.PRNGKey(0), max_new=8,
+    )
+    codes = np.asarray(res.codes)
+    assert codes.shape == (1, 8)
+    assert ((codes >= 0) & (codes < 36)).all()
+
+    # reference: same weights, pure-XLA trace — greedy tokens should agree
+    # for these well-separated random logits (MLP act-quant granularity is
+    # the only numeric difference)
+    xmodel = UnifiedVoice(cfg, quantize_gpt=True, attn_impl="xla",
+                          gemv_impl="xla")
+    dx = GPTDecoder(xmodel, cfg, SamplingConfig(do_sample=False))
+    rx = dx.generate(
+        {"params": qp}, conds, jnp.asarray(ids), jnp.asarray(pos),
+        jnp.asarray(valid), jax.random.PRNGKey(0), max_new=8,
+    )
+    assert (codes == np.asarray(rx.codes)).all()
