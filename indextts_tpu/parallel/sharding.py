@@ -31,6 +31,20 @@ def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
 # Partition rules for the UnifiedVoice param tree: (regex on the flattened
 # path, PartitionSpec). First match wins; default is replicated.
 GPT_PARTITION_RULES = [
+    # W8A8 int8 layout (models/gpt2.py Conv1D quantize): kernel_q shards
+    # like kernel; the per-OUT-channel kernel_scale shards with the output
+    # axis (column-sharded layers) or replicates (row-sharded projections,
+    # whose outputs are psum-reduced full-width). Listed before the float
+    # rules because first-match-wins and re.search("kernel") also hits
+    # "kernel_scale" with an out-of-rank spec.
+    (r"gpt/h_\d+/attn/c_attn/kernel_q", P(None, "model")),
+    (r"gpt/h_\d+/attn/c_attn/kernel_scale", P("model")),
+    (r"gpt/h_\d+/attn/c_proj/kernel_q", P("model", None)),
+    (r"gpt/h_\d+/attn/c_proj/kernel_scale", P()),
+    (r"gpt/h_\d+/mlp/c_fc/kernel_q", P(None, "model")),
+    (r"gpt/h_\d+/mlp/c_fc/kernel_scale", P("model")),
+    (r"gpt/h_\d+/mlp/c_proj/kernel_q", P("model", None)),
+    (r"gpt/h_\d+/mlp/c_proj/kernel_scale", P()),
     # GPT-2 blocks: column-shard fused qkv + mlp up, row-shard projections
     (r"gpt/h_\d+/attn/c_attn/kernel", P(None, "model")),
     (r"gpt/h_\d+/attn/c_attn/bias", P("model")),

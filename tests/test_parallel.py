@@ -211,3 +211,64 @@ def test_tp_sharded_decode_loop_matches_unsharded(rng):
 
     np.testing.assert_array_equal(got_codes, want_codes)
     np.testing.assert_array_equal(got_lengths, want_lengths)
+
+
+def test_tp_sharded_decode_loop_quantized(rng):
+    """W8A8 TP decode: int8 kernel_q/kernel_scale partition rules produce
+    token-identical greedy codes vs the unsharded quantized loop (int32
+    partial sums psum exactly; scales apply after the reduction)."""
+    from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+    from indextts_tpu.runtime.torch_convert import quantize_gpt_tree
+
+    model = UnifiedVoice(TINY, quantize_gpt=True)
+    dec = GPTDecoder(model, TINY, SamplingConfig(do_sample=False))
+    B, Lt, max_new = 2, 6, 10
+    text = rng.integers(2, 60, (B, Lt))
+    ids, pos, valid = dec.build_text_prompt_arrays(text, np.full(B, Lt), Lt)
+    conds = jnp.asarray(
+        rng.standard_normal((B, TINY.condition_num_latent, TINY.model_dim)),
+        jnp.float32,
+    )
+    fp = UnifiedVoice(TINY)
+    p = fp.init(
+        jax.random.PRNGKey(0),
+        conds,
+        jnp.zeros((B, Lt), jnp.int32),
+        jnp.full((B,), Lt),
+        jnp.zeros((B, 4), jnp.int32),
+        jnp.full((B,), 4),
+        jnp.zeros((B, TINY.model_dim)),
+        method=UnifiedVoice.forward_latent,
+    )["params"]
+    ph = fp.init(
+        jax.random.PRNGKey(1), jnp.zeros((B, TINY.model_dim)),
+        method=UnifiedVoice.mel_logits_from_hidden,
+    )["params"]
+    for k2, v2 in ph.items():
+        p.setdefault(k2, v2)
+    params = {"params": quantize_gpt_tree(p)}
+    key = jax.random.PRNGKey(7)
+
+    res = dec.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        key, max_new=max_new,
+    )
+    want_codes = np.asarray(res.codes)
+
+    mesh = make_mesh(2, 2)
+    sharded = {
+        "params": shard_params(params["params"], mesh, GPT_PARTITION_RULES)
+    }
+    bsh = NamedSharding(mesh, P("data"))
+    with mesh:
+        res_sh = dec.generate(
+            sharded,
+            jax.device_put(conds, bsh),
+            jax.device_put(jnp.asarray(ids), bsh),
+            jax.device_put(jnp.asarray(pos), bsh),
+            jax.device_put(jnp.asarray(valid), bsh),
+            key,
+            max_new=max_new,
+        )
+        got_codes = np.asarray(res_sh.codes)
+    np.testing.assert_array_equal(got_codes, want_codes)
