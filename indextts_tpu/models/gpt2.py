@@ -32,6 +32,17 @@ NEG_INF = -1e9
 BUCKET_BK = 256
 
 
+def _gemv_max_rows() -> int:
+    """Row threshold for routing single-token calls through the streaming
+    Pallas GEMV kernels (ops/gemv.py). Beam decode (B=3, the engine's
+    reference-default route) and small batched decode are just as
+    weight-streaming-bound as B=1; the crossover vs XLA's batched GEMM is
+    measured on TPU and tuned here. Env: TARS_GEMV_MAX_ROWS."""
+    import os
+
+    return int(os.environ.get("TARS_GEMV_MAX_ROWS", "1"))
+
+
 def gelu_new(x: jnp.ndarray) -> jnp.ndarray:
     """HF 'gelu_new' == tanh-approx GELU (transformers.activations.NewGELUActivation)."""
     return (
@@ -93,13 +104,15 @@ class Conv1D(nn.Module):
         lead = 1
         for s in x.shape[:-1]:
             lead *= s
-        if self.gemv and lead == 1:
+        # single-token decode rows only: T == 1 (never prefill chunks)
+        single_tok = x.ndim < 3 or x.shape[-2] == 1
+        if self.gemv and single_tok and lead <= _gemv_max_rows():
             from indextts_tpu.ops import gemv as gemv_ops
 
             if gemv_ops.supports(d, self.features):
-                x_q, a_scale = _quant_row(x.reshape(1, d))
+                x_q, a_scale = _quant_row(x.reshape(lead, d))
                 y = gemv_ops.gemv_w8(
-                    x_q, a_scale.reshape(1), w_q, w_scale, b,
+                    x_q, a_scale, w_q, w_scale, b,
                     interpret=self.pallas_interpret,
                 )
                 return y.reshape(x.shape[:-1] + (self.features,)).astype(x.dtype)
@@ -406,7 +419,9 @@ class GPT2MLP(nn.Module):
         lead = 1
         for s in x.shape[:-1]:
             lead *= s
-        if self.quantize and self.gemv and lead == 1:
+        single_tok = x.ndim < 3 or x.shape[-2] == 1
+        if (self.quantize and self.gemv and single_tok
+                and lead <= _gemv_max_rows()):
             from indextts_tpu.ops import gemv as gemv_ops
 
             if gemv_ops.supports_mlp(D, 4 * D):
@@ -418,9 +433,9 @@ class GPT2MLP(nn.Module):
                 w2, s2, b2 = pj(
                     jnp.zeros((1, 1, 4 * D), x.dtype), return_params=True
                 )
-                x_q, a_scale = _quant_row(x.reshape(1, D))
+                x_q, a_scale = _quant_row(x.reshape(lead, D))
                 y = gemv_ops.mlp_w8(
-                    x_q, a_scale.reshape(1), w1, s1, b1, w2, s2, b2,
+                    x_q, a_scale, w1, s1, b1, w2, s2, b2,
                     interpret=self.pallas_interpret,
                 )
                 return y.reshape(x.shape).astype(x.dtype)

@@ -80,39 +80,43 @@ def _gemv_kernel(xq_ref, a_ref, w_ref, s_ref, b_ref, o_ref):
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    o_ref[:] = acc * (a_ref[0] * s_ref[:]) + b_ref[:]
+    a = a_ref[:][:, :1]  # (b, 1) from the lane-replicated (b, 128) block
+    o_ref[:] = acc * (a * s_ref[:]) + b_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gemv_w8(
-    xq: jnp.ndarray,  # (1, D) int8
-    a: jnp.ndarray,  # (1,) or (1, 1) f32 activation scale
+    xq: jnp.ndarray,  # (b, D) int8 — b small (decode rows: 1..16)
+    a: jnp.ndarray,  # (b,) / (b, 1) f32 per-row activation scales
     w_q: jnp.ndarray,  # (D, F) int8
     w_scale: jnp.ndarray,  # (F,) f32
     bias: jnp.ndarray,  # (F,) f32
     *,
     interpret: bool = False,
-) -> jnp.ndarray:  # (1, F) f32
-    d, f = w_q.shape
+) -> jnp.ndarray:  # (b, F) f32
+    b, d = xq.shape
+    f = w_q.shape[1]
     fb = _pick_block(d, f)
     assert fb > 0, (d, f)
-    a_s = a.reshape(1).astype(jnp.float32)
+    a_rep = jnp.broadcast_to(
+        a.reshape(b, 1).astype(jnp.float32), (b, 128)
+    )
     return pl.pallas_call(
         _gemv_kernel,
         grid=(f // fb,),
         in_specs=[
-            pl.BlockSpec((1, d), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((b, 128), lambda i: (0, 0)),
             pl.BlockSpec((d, fb), lambda i: (0, i)),
             pl.BlockSpec((1, fb), lambda i: (0, i)),
             pl.BlockSpec((1, fb), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((1, fb), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, f), jnp.float32),
+        out_specs=pl.BlockSpec((b, fb), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, f), jnp.float32),
         interpret=interpret,
     )(
         xq,
-        a_s,
+        a_rep,
         w_q,
         w_scale.astype(jnp.float32).reshape(1, f),
         bias.astype(jnp.float32).reshape(1, f),
@@ -133,7 +137,7 @@ def _mlp_kernel(xq_ref, a_ref, fc_ref, s1_ref, b1_ref, fc2_ref, s2_ref,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32)
-    h = h * (a_ref[0] * s1_ref[:]) + b1_ref[:]
+    h = h * (a_ref[:][:, :1] * s1_ref[:]) + b1_ref[:]
     # gelu_new (models/gpt2.py): tanh-approx, computed in f32
     h = 0.5 * h * (
         1.0 + jnp.tanh(0.7978845608028654 * (h + 0.044715 * h * h * h))
@@ -160,8 +164,8 @@ def _mlp_kernel(xq_ref, a_ref, fc_ref, s1_ref, b1_ref, fc2_ref, s2_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mlp_w8(
-    xq: jnp.ndarray,  # (1, D) int8
-    a: jnp.ndarray,  # activation scale
+    xq: jnp.ndarray,  # (b, D) int8 — b small (decode rows: 1..16)
+    a: jnp.ndarray,  # (b,) / (b, 1) f32 per-row activation scales
     fc_q: jnp.ndarray,  # (D, FH) int8
     fc_scale: jnp.ndarray,  # (FH,)
     fc_bias: jnp.ndarray,  # (FH,)
@@ -170,17 +174,20 @@ def mlp_w8(
     fc2_bias: jnp.ndarray,  # (D,)
     *,
     interpret: bool = False,
-) -> jnp.ndarray:  # (1, D) f32
+) -> jnp.ndarray:  # (b, D) f32
+    b, _ = xq.shape
     d, fh = fc_q.shape
     hb = _pick_block(d, fh)
     assert hb > 0 and hb % 32 == 0, (d, fh)
-    a_s = a.reshape(1).astype(jnp.float32)
+    a_rep = jnp.broadcast_to(
+        a.reshape(b, 1).astype(jnp.float32), (b, 128)
+    )
     return pl.pallas_call(
         _mlp_kernel,
         grid=(fh // hb,),
         in_specs=[
-            pl.BlockSpec((1, d), lambda i: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, d), lambda i: (0, 0)),
+            pl.BlockSpec((b, 128), lambda i: (0, 0)),
             pl.BlockSpec((d, hb), lambda i: (0, i)),
             pl.BlockSpec((1, hb), lambda i: (0, i)),
             pl.BlockSpec((1, hb), lambda i: (0, i)),
@@ -188,12 +195,12 @@ def mlp_w8(
             pl.BlockSpec((1, d), lambda i: (0, 0)),
             pl.BlockSpec((1, d), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, d), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, d), jnp.float32),
+        out_specs=pl.BlockSpec((b, d), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
         interpret=interpret,
     )(
         xq,
-        a_s,
+        a_rep,
         fc_q,
         fc_scale.astype(jnp.float32).reshape(1, fh),
         fc_bias.astype(jnp.float32).reshape(1, fh),

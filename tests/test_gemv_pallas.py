@@ -235,3 +235,41 @@ def test_generate_with_gemv_and_q8_attention(rng, monkeypatch):
         jnp.asarray(valid), jax.random.PRNGKey(0), max_new=8,
     )
     assert (codes == np.asarray(rx.codes)).all()
+
+
+def test_gemv_multirow_beam_shape(rng):
+    """b=3 rows (the engine's default beam route is num_beams=3): per-row
+    activation scales apply correctly."""
+    w_q, w_s, b = _q8_weights(rng, D, 768)
+    x = jnp.asarray(rng.standard_normal((3, D)), jnp.float32) * 0.5
+    x_q, a = _quant_row(x)
+    want = (
+        jax.lax.dot_general(
+            x_q, jnp.asarray(w_q), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        * a
+        * w_s[None]
+        + b
+    )
+    got = gemv_ops.gemv_w8(
+        x_q, a, jnp.asarray(w_q), jnp.asarray(w_s), jnp.asarray(b),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+    )
+
+    w1, s1, b1 = _q8_weights(rng, D, FH)
+    w2, s2, b2 = _q8_weights(rng, FH, D)
+    got_m = np.asarray(
+        gemv_ops.mlp_w8(
+            x_q, a, jnp.asarray(w1), jnp.asarray(s1), jnp.asarray(b1),
+            jnp.asarray(w2), jnp.asarray(s2), jnp.asarray(b2), interpret=True,
+        )
+    )
+    h = np.asarray(x) @ (np.asarray(w1, np.float32) * s1[None]) + b1
+    h = np.asarray(gelu_new(jnp.asarray(h)))
+    want_f = h @ (np.asarray(w2, np.float32) * s2[None]) + b2
+    scale = np.abs(want_f).max() + 1e-9
+    assert np.abs(got_m - want_f).max() / scale < 2e-2
