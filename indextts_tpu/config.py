@@ -343,6 +343,11 @@ class RuntimeConfig:
     # (c_fc -> gelu_new -> c_proj) into one pass and stream each weight byte
     # exactly once; they only engage on single-row (B*T == 1) decode traces.
     gemv_impl: str = "auto"
+    # int8 logits head (requires gpt_quantize): removes the last unquantized
+    # per-step weight stream (mel_head, ~21MB bf16 -> ~10.5MB int8). Off by
+    # default until the TPU win is measured (same policy as every kernel
+    # default here).
+    head_quant: bool = False
     # quantize the waveform to PCM16 ON DEVICE before the host transfer
     # (reference output semantics: clamp(32767*wav).int16, infer_v2.py:866;
     # halves d2h bytes). The engine's public float API rescales by 1/32767.
@@ -366,6 +371,7 @@ class RuntimeConfig:
             kv_quant=_env_flag("TARS_KV_QUANT", False),
             gpt_quantize=_env_flag("TARS_GPT_QUANTIZE", False),
             gemv_impl=os.environ.get("TARS_GEMV_IMPL", "auto"),
+            head_quant=_env_flag("TARS_HEAD_QUANT", False),
             device_pcm16=_env_flag("TARS_DEVICE_PCM16", True),
         )
 

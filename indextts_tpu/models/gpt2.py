@@ -129,6 +129,81 @@ class Conv1D(nn.Module):
         return (y + b).astype(x.dtype)
 
 
+class QuantDenseHead(nn.Module):
+    """int8 (W8A8) lm-head Dense with lane-padded output columns.
+
+    The decode-step logits head (mel_head: model_dim -> 8194) is the last
+    unquantized weight stream on the hot loop (~21MB bf16 read per step).
+    The vocab dim has no multiple-of-128 divisor, so the kernel is stored
+    padded to the next lane multiple (8194 -> 8320) and the logits are
+    sliced back to `features`; padding columns carry zero weights/bias so
+    they never win sampling even before the slice.
+
+    Same contraction semantics as Conv1D(quantize=True); single-row decode
+    calls route through the streaming Pallas GEMV (ops/gemv.py) when
+    `gemv=True`."""
+
+    features: int
+    gemv: bool = False
+    pallas_interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        fpad = -(-self.features // 128) * 128
+        w_q = self.param(
+            "kernel_q", lambda k, s: jnp.zeros(s, jnp.int8), (d, fpad)
+        )
+        w_scale = self.param("kernel_scale", nn.initializers.ones, (fpad,))
+        b = self.param("bias", nn.initializers.zeros, (fpad,))
+
+        lead = 1
+        for s in x.shape[:-1]:
+            lead *= s
+        single_tok = x.ndim < 3 or x.shape[-2] == 1
+        if self.gemv and single_tok and lead <= _gemv_max_rows():
+            from indextts_tpu.ops import gemv as gemv_ops
+
+            if gemv_ops.supports(d, fpad):
+                x_q, a_scale = _quant_row(x.reshape(lead, d))
+                y = gemv_ops.gemv_w8(
+                    x_q, a_scale, w_q, w_scale, b,
+                    interpret=self.pallas_interpret,
+                )
+                return y[:, : self.features].reshape(
+                    x.shape[:-1] + (self.features,)
+                )
+
+        x_q, a_scale = _quant_row(x)
+        y = jax.lax.dot_general(
+            x_q,
+            w_q,
+            (((x_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * a_scale * w_scale[None].astype(jnp.float32)
+        return (y + b.astype(jnp.float32))[..., : self.features]
+
+
+def quantize_dense_head_params(tree: dict) -> dict:
+    """{kernel (d,f), bias (f,)} fp -> lane-padded int8 head params
+    {kernel_q (d,fpad), kernel_scale (fpad,), bias (fpad,)}."""
+    import numpy as np
+
+    w = np.asarray(tree["kernel"], np.float32)
+    d, f = w.shape
+    fpad = -(-f // 128) * 128
+    scale = np.abs(w).max(axis=0) / 127.0 + 1e-12
+    w_q = np.clip(np.round(w / scale[None]), -127, 127).astype(np.int8)
+    w_qp = np.zeros((d, fpad), np.int8)
+    w_qp[:, :f] = w_q
+    s_p = np.ones(fpad, np.float32)
+    s_p[:f] = scale
+    b_p = np.zeros(fpad, np.float32)
+    b_p[:f] = np.asarray(tree["bias"], np.float32)
+    return {"kernel_q": w_qp, "kernel_scale": s_p, "bias": b_p}
+
+
 def quantize_conv1d_params(tree: dict) -> dict:
     """{kernel, bias} fp -> {kernel_q, kernel_scale, bias} (per-out-channel)."""
     import numpy as np

@@ -44,6 +44,10 @@ class UnifiedVoice(nn.Module):
     kv_quant: bool = False
     # "pallas": B=1 decode GEMV/MLP via the streaming int8 kernels (ops/gemv)
     gemv_impl: str = "xla"
+    # int8 logits head (gpt2.QuantDenseHead, lane-padded vocab): removes the
+    # last unquantized per-step weight stream. Params via
+    # torch_convert.quantize_gpt_tree(head=True).
+    head_quant: bool = False
 
     def setup(self):
         c = self.cfg
@@ -87,7 +91,17 @@ class UnifiedVoice(nn.Module):
         self.emovec_layer = nn.Dense(c.model_dim, name="emovec_layer")
         self.emo_layer = nn.Dense(c.model_dim, name="emo_layer")
         self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
-        self.mel_head = nn.Dense(c.number_mel_codes, name="mel_head")
+        if self.head_quant:
+            from indextts_tpu.models.gpt2 import QuantDenseHead
+
+            self.mel_head = QuantDenseHead(
+                c.number_mel_codes,
+                gemv=self.gemv_impl == "pallas",
+                pallas_interpret=self.pallas_interpret,
+                name="mel_head",
+            )
+        else:
+            self.mel_head = nn.Dense(c.number_mel_codes, name="mel_head")
         self.text_head = nn.Dense(c.number_text_tokens + 1, name="text_head")
         self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, self.attn_impl, self.pallas_interpret, self.kv_quant, gemv_impl=self.gemv_impl, name="gpt")
 

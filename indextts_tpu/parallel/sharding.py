@@ -55,6 +55,10 @@ GPT_PARTITION_RULES = [
     # big embeddings / heads: shard the vocab axis
     (r"text_embedding/embedding", P("model", None)),
     (r"mel_embedding/embedding", P("model", None)),
+    # int8 head layout (gpt2.QuantDenseHead, head_quant=True): column-sharded
+    # like the float kernel; per-out-column scale follows the vocab axis
+    (r"mel_head/kernel_q", P(None, "model")),
+    (r"mel_head/kernel_scale", P("model")),
     (r"mel_head/kernel", P(None, "model")),
     (r"mel_head/bias", P("model")),
     (r"text_head/kernel", P(None, "model")),

@@ -107,11 +107,13 @@ class IndexTTS2Engine:
             gemv_impl = (
                 "pallas" if (cfg.runtime.gpt_quantize and on_tpu) else "xla"
             )
+        head_quant = cfg.runtime.head_quant and cfg.runtime.gpt_quantize
         self.gpt = UnifiedVoice(
             cfg.gpt, dtype=gpt_dtype, attn_impl=cfg.runtime.attn_impl,
             kv_quant=cfg.runtime.kv_quant,
             quantize_gpt=cfg.runtime.gpt_quantize,
             gemv_impl=gemv_impl,
+            head_quant=head_quant,
         )
         self.s2mel = S2Mel(cfg.s2mel)
         self.bigvgan = BigVGAN(cfg.vocoder, dtype=voc_dtype)
@@ -141,7 +143,7 @@ class IndexTTS2Engine:
         if cfg.runtime.gpt_quantize:
             from indextts_tpu.runtime.torch_convert import quantize_gpt_tree
 
-            p_gpt_raw = quantize_gpt_tree(p_gpt_raw)
+            p_gpt_raw = quantize_gpt_tree(p_gpt_raw, head=head_quant)
         self.p_gpt = put_as(p_gpt_raw, gpt_dtype)
         self.p_s2mel = put(params["s2mel"])
         self.p_bigvgan = put_as(params["bigvgan"], voc_dtype)

@@ -711,13 +711,19 @@ def convert_dvae(sd: SD, cfg) -> dict:
     return p
 
 
-def quantize_gpt_tree(p_gpt: dict) -> dict:
+def quantize_gpt_tree(p_gpt: dict, head: bool = False) -> dict:
     """Quantize a converted UnifiedVoice param tree's GPT-2 block matmuls to
-    W8A8 (models/gpt2.py Conv1D quantize=True layout). Embeddings, norms and
-    heads stay float."""
-    from indextts_tpu.models.gpt2 import quantize_conv1d_params
+    W8A8 (models/gpt2.py Conv1D quantize=True layout). Embeddings and norms
+    stay float; `head=True` additionally converts mel_head to the lane-padded
+    int8 layout (gpt2.QuantDenseHead — the decode-step logits GEMV)."""
+    from indextts_tpu.models.gpt2 import (
+        quantize_conv1d_params,
+        quantize_dense_head_params,
+    )
 
     out = dict(p_gpt)
+    if head:
+        out["mel_head"] = quantize_dense_head_params(out["mel_head"])
     gpt = dict(out["gpt"])
     for name, layer in gpt.items():
         if not name.startswith("h_"):

@@ -102,3 +102,69 @@ def test_engine_gpt_quantize_smoke():
     )
     out = engine.infer((wav, 16000), [np.random.default_rng(4).integers(2, 50, 7)], seed=0)
     assert np.isfinite(out["audio"]).all() and out["audio"].size > 0
+
+
+def test_head_quant_logits_close(rng):
+    """QuantDenseHead (int8 lane-padded mel_head) vs the float Dense head:
+    logits agree within W8A8 quantization tolerance and the padded columns
+    never leak into the sliced output."""
+    fp = UnifiedVoice(TINY)
+    params = _init_params(fp)
+    qmodel = UnifiedVoice(TINY, quantize_gpt=True, head_quant=True)
+    qparams = quantize_gpt_tree(params, head=True)
+    assert qparams["mel_head"]["kernel_q"].shape == (64, 128)  # 36 -> 128 pad
+
+    h = jnp.asarray(rng.standard_normal((3, 64)), jnp.float32)
+    want = np.asarray(
+        fp.apply({"params": params}, h,
+                 method=UnifiedVoice.mel_logits_from_hidden)
+    )
+    got = np.asarray(
+        qmodel.apply({"params": qparams}, h,
+                     method=UnifiedVoice.mel_logits_from_hidden)
+    )
+    assert got.shape == want.shape == (3, 36)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_quant_dense_head_gemv_matches_xla(rng):
+    """QuantDenseHead's streaming-GEMV route (interpret mode) matches its own
+    XLA W8A8 contraction bit-closely at a gemv-supported dim."""
+    from indextts_tpu.models.gpt2 import (
+        QuantDenseHead,
+        quantize_dense_head_params,
+    )
+
+    d, f = 256, 1000  # fpad = 1024
+    tree = quantize_dense_head_params({
+        "kernel": rng.standard_normal((d, f)).astype(np.float32) * 0.02,
+        "bias": rng.standard_normal(f).astype(np.float32) * 0.01,
+    })
+    x = jnp.asarray(rng.standard_normal((1, d)), jnp.float32)
+    xla = QuantDenseHead(f, gemv=False)
+    gemv = QuantDenseHead(f, gemv=True, pallas_interpret=True)
+    want = np.asarray(xla.apply({"params": tree}, x))
+    got = np.asarray(gemv.apply({"params": tree}, x))
+    assert got.shape == want.shape == (1, f)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_head_quant_decode_runs(rng):
+    """Full tiny decode with head_quant: codes stay in vocab (the padded
+    logit columns must never be sampled)."""
+    params = quantize_gpt_tree(
+        _init_params(UnifiedVoice(TINY)), head=True
+    )
+    model = UnifiedVoice(TINY, quantize_gpt=True, head_quant=True)
+    dec = GPTDecoder(model, TINY, SamplingConfig())
+    text = rng.integers(2, 50, (1, 5))
+    ids, pos, valid = dec.build_text_prompt_arrays(text, np.array([5]), 5)
+    conds = jnp.zeros((1, 34, 64))
+    res = dec.generate(
+        {"params": params}, conds, jnp.asarray(ids), jnp.asarray(pos),
+        jnp.asarray(valid), jax.random.PRNGKey(0), max_new=10,
+    )
+    codes = np.asarray(res.codes)
+    assert codes.shape == (1, 10)
+    assert ((codes >= 0) & (codes < 36)).all()
