@@ -15,21 +15,29 @@ import time
 
 
 def main(argv=None):
+    import os
+
     p = argparse.ArgumentParser(prog="indextts-tpu-serve")
-    p.add_argument("--model-dir", default=None)
-    p.add_argument("--cfg", default=None)
+    # env fallbacks mirror the reference server (serve_tars.py TARS_* contract)
+    p.add_argument("--model-dir", default=os.environ.get("TARS_CHECKPOINT_DIR"))
+    p.add_argument("--cfg", default=os.environ.get("TARS_CONFIG_FILE"))
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--reference-audio", default=None,
                    help="default speaker prompt wav")
     args = p.parse_args(argv)
 
+    # multi-host jobs (DP over hosts): initialize jax.distributed before any
+    # device use; strict no-op for the single-process case
+    from indextts_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     # persistent XLA compile cache, keyed under the model dir so different
     # checkpoints don't collide (reference: serve_tars.py:143-199 persists its
     # torch.compile cache the same way). On the axon-tunneled TPU cross-process
     # hits are backend-dependent; the cache is still correct and costs nothing.
     import hashlib
-    import os
 
     import jax
 

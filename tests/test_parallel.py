@@ -272,3 +272,26 @@ def test_tp_sharded_decode_loop_quantized(rng):
         )
         got_codes = np.asarray(res_sh.codes)
     np.testing.assert_array_equal(got_codes, want_codes)
+
+
+def test_multihost_noop_single_process(monkeypatch):
+    """maybe_initialize_distributed: strict no-op without topology envs and
+    with an explicit single-process topology."""
+    from indextts_tpu.parallel import multihost
+
+    for k in ("TARS_COORDINATOR", "JAX_COORDINATOR_ADDRESS",
+              "TARS_NUM_PROCESSES", "JAX_NUM_PROCESSES"):
+        monkeypatch.delenv(k, raising=False)
+    assert multihost.maybe_initialize_distributed() is False
+    monkeypatch.setenv("TARS_NUM_PROCESSES", "1")
+    assert multihost.maybe_initialize_distributed() is False
+
+
+def test_multihost_global_mesh_layout():
+    """global_mesh puts TP inside the local (ICI) domain: with 8 local
+    devices and model=2 the mesh is (data=4, model=2)."""
+    from indextts_tpu.parallel.multihost import global_mesh
+
+    mesh = global_mesh(model=2)
+    assert mesh.devices.shape == (len(jax.devices()) // 2, 2)
+    assert mesh.axis_names == ("data", "model")
