@@ -128,16 +128,23 @@ class IndexTTS2Engine:
         def put_as(tree, dtype):
             """Store float params directly in the compute dtype: a fp32 store
             with bf16 compute would re-cast ~1GB of weights EVERY decode step
-            (3x HBM traffic on the hot loop)."""
+            (3x HBM traffic on the hot loop). int8 dequant scales stay fp32 —
+            they are tiny (per-out-channel vectors) but bf16-rounding them
+            (~0.4%) would double the W8 dequant error for zero bandwidth."""
             tree = put(tree)
             if dtype == jnp.float32:
                 return tree
-            return jax.tree_util.tree_map(
-                lambda x: x.astype(dtype)
-                if jnp.issubdtype(x.dtype, jnp.floating)
-                else x,
-                tree,
-            )
+
+            def cast(path, x):
+                if any(
+                    getattr(k, "key", None) == "kernel_scale" for k in path
+                ):
+                    return x
+                if jnp.issubdtype(x.dtype, jnp.floating):
+                    return x.astype(dtype)
+                return x
+
+            return jax.tree_util.tree_map_with_path(cast, tree)
 
         p_gpt_raw = params["gpt"]
         if cfg.runtime.gpt_quantize:
