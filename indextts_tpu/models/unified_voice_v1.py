@@ -27,6 +27,15 @@ from indextts_tpu.models.perceiver import PerceiverResampler
 class UnifiedVoiceV1(nn.Module):
     cfg: GPTConfig  # with condition_module.input_size = 100
     dtype: Any = jnp.float32
+    # same decode-runtime knobs as v2's UnifiedVoice (shared GPT2Core):
+    # W8A8 blocks, int8 KV cache, Pallas decode attention / streaming GEMVs,
+    # int8 logits head. Params via torch_convert.quantize_gpt_tree.
+    quantize_gpt: bool = False
+    attn_impl: str = "xla"
+    pallas_interpret: bool = False
+    kv_quant: bool = False
+    gemv_impl: str = "xla"
+    head_quant: bool = False
 
     def setup(self):
         c = self.cfg
@@ -55,9 +64,23 @@ class UnifiedVoiceV1(nn.Module):
             c.max_text_position, c.model_dim, name="text_pos_embedding"
         )
         self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
-        self.mel_head = nn.Dense(c.number_mel_codes, name="mel_head")
+        if self.head_quant:
+            from indextts_tpu.models.gpt2 import QuantDenseHead
+
+            self.mel_head = QuantDenseHead(
+                c.number_mel_codes,
+                gemv=self.gemv_impl == "pallas",
+                pallas_interpret=self.pallas_interpret,
+                name="mel_head",
+            )
+        else:
+            self.mel_head = nn.Dense(c.number_mel_codes, name="mel_head")
         self.text_head = nn.Dense(c.number_text_tokens + 1, name="text_head")
-        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, name="gpt")
+        self.gpt = GPT2Core(
+            c.layers, c.heads, self.dtype, self.quantize_gpt, self.attn_impl,
+            self.pallas_interpret, self.kv_quant, gemv_impl=self.gemv_impl,
+            name="gpt",
+        )
 
     def get_conditioning(self, cond_mel: jnp.ndarray, cond_lens: jnp.ndarray):
         """(B, T, 100) mel (frames-major) -> (B, 32, model_dim)."""

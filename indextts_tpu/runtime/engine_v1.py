@@ -46,9 +46,18 @@ class IndexTTSV1Engine:
         bucket_max_size: int = 4,
         gpt_dtype=jnp.float32,
         device_pcm16: bool = True,
+        quantize_gpt: bool = False,
+        kv_quant: bool = False,
+        attn_impl: str = "xla",
+        gemv_impl: str = "xla",
+        head_quant: bool = False,
     ):
         """params: {"gpt": …, "bigvgan": …} flax trees
-        (torch_convert.convert_unified_voice_v1 / convert_bigvgan_v1)."""
+        (torch_convert.convert_unified_voice_v1 / convert_bigvgan_v1).
+
+        quantize_gpt/kv_quant/attn_impl/gemv_impl/head_quant: the same
+        decode-runtime knobs as the v2 engine (shared GPT2Core + decode
+        loop); the v1 param tree is converted through quantize_gpt_tree."""
         self.gpt_cfg = gpt_cfg
         self.voc_cfg = voc_cfg
         # v1 conditioning mel: 24 kHz / 100 bins (config.yaml dataset.mel)
@@ -58,9 +67,19 @@ class IndexTTSV1Engine:
         self.tokenizer = tokenizer
         self.bucket_max_size = bucket_max_size
 
-        self.gpt = UnifiedVoiceV1(gpt_cfg, dtype=gpt_dtype)
+        head_quant = head_quant and quantize_gpt
+        self.gpt = UnifiedVoiceV1(
+            gpt_cfg, dtype=gpt_dtype, quantize_gpt=quantize_gpt,
+            kv_quant=kv_quant, attn_impl=attn_impl, gemv_impl=gemv_impl,
+            head_quant=head_quant,
+        )
         self.bigvgan = BigVGANv1(voc_cfg)
-        self.p_gpt = jax.device_put(params["gpt"])
+        p_gpt_raw = params["gpt"]
+        if quantize_gpt:
+            from indextts_tpu.runtime.torch_convert import quantize_gpt_tree
+
+            p_gpt_raw = quantize_gpt_tree(p_gpt_raw, head=head_quant)
+        self.p_gpt = jax.device_put(p_gpt_raw)
         self.p_voc = jax.device_put(params["bigvgan"])
 
         self.decoder = GPTDecoder(self.gpt, gpt_cfg, SamplingConfig())

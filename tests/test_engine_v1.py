@@ -66,3 +66,35 @@ def test_v1_engine_e2e(engine, rng):
     assert out["sampling_rate"] == 24000
     assert np.isfinite(out["audio"]).all()
     assert out["duration_sec"] > 0
+
+
+def test_v1_engine_quantized(rng):
+    """v1 engine with the shared decode-runtime quantization knobs
+    (W8A8 + int8 KV + int8 head): finite audio, codes in vocab."""
+    k = jax.random.PRNGKey(0)
+    gpt = UnifiedVoiceV1(GPT_TINY)
+    p_gpt = gpt.init(
+        k,
+        jnp.zeros((1, 10, 100)), jnp.asarray([10]),
+        jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
+        jnp.zeros((1, 6), jnp.int32), jnp.asarray([6 * 1024]),
+        method=UnifiedVoiceV1.forward_latent,
+    )["params"]
+    p_head = gpt.init(
+        k, jnp.zeros((1, 64)), method=UnifiedVoiceV1.mel_logits_from_hidden
+    )["params"]
+    for k2, v in p_head.items():
+        p_gpt.setdefault(k2, v)
+    voc = BigVGANv1(VOC_TINY)
+    p_voc = voc.init(k, jnp.zeros((1, 4, 64)), jnp.zeros((1, 30, 100)))["params"]
+    p_voc = jax.tree_util.tree_map(lambda x: jnp.abs(x) + 0.01, p_voc)
+    eng = IndexTTSV1Engine(
+        GPT_TINY, VOC_TINY, {"gpt": p_gpt, "bigvgan": p_voc},
+        quantize_gpt=True, kv_quant=True, head_quant=True,
+    )
+    assert eng.p_gpt["mel_head"]["kernel_q"].shape == (64, 128)
+    sr = 24000
+    prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    segs = [rng.integers(2, 50, 5), rng.integers(2, 50, 7)]
+    out = eng.infer_fast((prompt, sr), segs, max_mel_tokens=12, seed=0)
+    assert np.isfinite(out["audio"]).all() and out["audio"].size > 0
