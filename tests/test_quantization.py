@@ -168,3 +168,30 @@ def test_head_quant_decode_runs(rng):
     codes = np.asarray(res.codes)
     assert codes.shape == (1, 10)
     assert ((codes >= 0) & (codes < 36)).all()
+
+
+def test_head_quant_beam_routes():
+    """Engine default beam-multinomial route (num_beams=3) and the
+    deterministic beam both run under gpt_quantize+head_quant (the beam's
+    (B*nb, D) head calls take QuantDenseHead's XLA fallback)."""
+    import dataclasses as dc
+    import sys
+    from pathlib import Path
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_engine_e2e import tiny_config
+
+    from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+
+    cfg = tiny_config()
+    cfg = dc.replace(cfg, runtime=dc.replace(
+        cfg.runtime, gpt_quantize=True, head_quant=True, num_beams=3,
+        max_mel_tokens=16))
+    e = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    wav = (np.random.default_rng(3).standard_normal(16000) * 0.1).astype(np.float32)
+    text = [np.random.default_rng(4).integers(2, 50, 7)]
+    for do_sample in (True, False):
+        out = e.infer((wav, 16000), text, seed=0, num_beams=3,
+                      do_sample=do_sample)
+        assert np.isfinite(out["audio"]).all() and out["audio"].size > 0
