@@ -348,6 +348,12 @@ class RuntimeConfig:
     # default until the TPU win is measured (same policy as every kernel
     # default here).
     head_quant: bool = False
+    # s2mel (DiT/CFM + regulator) compute dtype: "float32" | "bfloat16".
+    # fp32 matmuls cost multiple bf16 MXU passes on TPU; the CFM estimator is
+    # MXU-bound (13 dense blocks x 2B CFG batch x n_steps), so bf16 compute
+    # is a large-step speedup candidate. Euler state, norm statistics and
+    # softmax stay fp32 islands. Off until the TPU win/fidelity is measured.
+    s2mel_dtype: str = "float32"
     # quantize the waveform to PCM16 ON DEVICE before the host transfer
     # (reference output semantics: clamp(32767*wav).int16, infer_v2.py:866;
     # halves d2h bytes). The engine's public float API rescales by 1/32767.
@@ -372,6 +378,7 @@ class RuntimeConfig:
             gpt_quantize=_env_flag("TARS_GPT_QUANTIZE", False),
             gemv_impl=os.environ.get("TARS_GEMV_IMPL", "auto"),
             head_quant=_env_flag("TARS_HEAD_QUANT", False),
+            s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", "float32"),
             device_pcm16=_env_flag("TARS_DEVICE_PCM16", True),
         )
 

@@ -152,7 +152,15 @@ class IndexTTS2Engine:
 
             p_gpt_raw = quantize_gpt_tree(p_gpt_raw, head=head_quant)
         self.p_gpt = put_as(p_gpt_raw, gpt_dtype)
-        self.p_s2mel = put(params["s2mel"])
+        # s2mel compute dtype (config.s2mel_dtype): bf16 params + bf16
+        # activations through the MXU-bound DiT/regulator; the CFM Euler
+        # state, norm statistics and attention softmax stay fp32
+        self._s2mel_dt = (
+            jnp.bfloat16
+            if cfg.runtime.s2mel_dtype == "bfloat16"
+            else jnp.float32
+        )
+        self.p_s2mel = put_as(params["s2mel"], self._s2mel_dt)
         self.p_bigvgan = put_as(params["bigvgan"], voc_dtype)
         self.p_repcodec = put(params["repcodec"])
         self.p_campplus = put(params["campplus"])
@@ -268,12 +276,15 @@ class IndexTTS2Engine:
         total_len: int,
     ):
         """gpt_layer + vq2emb + length-regulate + CFM (infer_v2.py:830-856)."""
+        dt = self._s2mel_dt
         sp = {"params": p_s2mel}
-        latent = self.s2mel.apply(sp, latent, method=S2Mel.project_gpt_latent)
+        latent = self.s2mel.apply(
+            sp, latent.astype(dt), method=S2Mel.project_gpt_latent
+        )
         s_infer = self.repcodec.apply(
             {"params": p_repcodec}, codes, method=RepCodec.vq2emb
         )
-        s_infer = s_infer + latent
+        s_infer = (s_infer + latent.astype(jnp.float32)).astype(dt)
         target_lengths = jnp.floor(code_len.astype(jnp.float32) * 1.72).astype(jnp.int32)
         # xlens=code_len: the nearest grid must use the VALID code count, not
         # the padded bucket width (reference interpolates exact tensors,
@@ -283,7 +294,13 @@ class IndexTTS2Engine:
         )
         B = cond.shape[0]
         cat_cond = jnp.concatenate(
-            [jnp.broadcast_to(prompt_condition, (B,) + prompt_condition.shape[1:]), cond],
+            [
+                jnp.broadcast_to(
+                    prompt_condition.astype(dt),
+                    (B,) + prompt_condition.shape[1:],
+                ),
+                cond.astype(dt),
+            ],
             axis=1,
         )
         # per-sequence valid frames (batched segments share the prompt)
@@ -302,6 +319,7 @@ class IndexTTS2Engine:
             noise,
             n_steps=self.cfg.runtime.diffusion_steps,
             cfg_rate=self.cfg.runtime.cfg_rate,
+            dtype=dt,
         )
         return vc
 

@@ -21,7 +21,7 @@ from indextts_tpu.models.s2mel import S2Mel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "n_steps")
+    jax.jit, static_argnames=("model", "n_steps", "dtype")
 )
 def cfm_inference(
     model: S2Mel,
@@ -34,7 +34,12 @@ def cfm_inference(
     noise: jnp.ndarray,  # (B, 80, T) ~ N(0,1) * temperature
     n_steps: int = 20,
     cfg_rate: float = 0.7,
+    dtype: Any = jnp.float32,
 ):
+    """dtype: DiT estimator compute dtype (config.runtime.s2mel_dtype). The
+    Euler state x, the CFG combine and the update stay fp32; only the
+    estimator inputs/outputs are cast — norm stats and attention softmax
+    inside the DiT are fp32 islands regardless."""
     B, C, T = noise.shape
     frame_idx = jnp.arange(T)
     in_prompt = (frame_idx < prompt_len)[None, None, :]  # (1,1,T)
@@ -46,9 +51,9 @@ def cfm_inference(
     zeros_style = jnp.zeros_like(style)
     zeros_mu = jnp.zeros_like(mu)
 
-    stacked_prompt = jnp.concatenate([prompt_x, zeros_prompt], axis=0)
-    stacked_style = jnp.concatenate([style, zeros_style], axis=0)
-    stacked_mu = jnp.concatenate([mu, zeros_mu], axis=0)
+    stacked_prompt = jnp.concatenate([prompt_x, zeros_prompt], axis=0).astype(dtype)
+    stacked_style = jnp.concatenate([style, zeros_style], axis=0).astype(dtype)
+    stacked_mu = jnp.concatenate([mu, zeros_mu], axis=0).astype(dtype)
     # per-seq lengths must cover the CFG-stacked 2B batch (the reference
     # relies on B=1 broadcasting, flow_matching.py:96-98)
     stacked_lens = (
@@ -57,7 +62,7 @@ def cfm_inference(
 
     def body(step, x):
         t = step.astype(jnp.float32) * dt  # t BEFORE the update (t_span[step-1])
-        stacked_x = jnp.concatenate([x, x], axis=0)
+        stacked_x = jnp.concatenate([x, x], axis=0).astype(dtype)
         stacked_t = jnp.full((2 * B,), t, jnp.float32)
         dphi = model.apply(
             params,
@@ -68,7 +73,7 @@ def cfm_inference(
             stacked_style,
             stacked_mu,
             method=S2Mel.velocity,
-        )
+        ).astype(jnp.float32)
         d_cond, d_null = jnp.split(dphi, 2, axis=0)
         d = (1.0 + cfg_rate) * d_cond - cfg_rate * d_null
         x = x + dt * d

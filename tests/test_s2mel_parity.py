@@ -247,3 +247,36 @@ def test_gpt_layer_parity(models, rng):
 
     got = np.asarray(project_gpt_latent(model, params, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_cfm_bf16_estimator_close(models, rng):
+    """dtype=bfloat16 CFM (bf16 params + bf16 estimator activations, fp32
+    Euler state/norm islands) stays close to the fp32 solve — the fidelity
+    bound behind config.runtime.s2mel_dtype."""
+    _, _, _, model, params = models
+    B, T, P, steps = 1, 61, 23, 4
+    noise = rng.standard_normal((B, MEL, T)).astype(np.float32)
+    prompt_x = np.zeros((B, MEL, T), np.float32)
+    prompt_x[:, :, :P] = rng.standard_normal((B, MEL, P)).astype(np.float32)
+    style = rng.standard_normal((B, STYLE)).astype(np.float32)
+    mu = rng.standard_normal((B, T, CONTENT)).astype(np.float32)
+    args = (
+        jnp.asarray(mu), jnp.asarray(np.array([T])), jnp.asarray(prompt_x),
+        jnp.asarray(P), jnp.asarray(style), jnp.asarray(noise),
+    )
+    want = np.asarray(
+        cfm_inference(model, params, *args, n_steps=steps, cfg_rate=0.7)
+    )
+    p_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+    got = np.asarray(
+        cfm_inference(model, p_bf16, *args, n_steps=steps, cfg_rate=0.7,
+                      dtype=jnp.bfloat16)
+    )
+    assert got.dtype == np.float32
+    # valid (non-prompt) frames: relative L2 within bf16 round-off growth
+    rel = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-9)
+    assert rel < 0.08, rel
