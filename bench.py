@@ -75,6 +75,8 @@ def main():
             diffusion_steps=int(os.environ.get("BENCH_DIFFUSION_STEPS", "20")),
             kv_quant=quant,
             gpt_quantize=quant,
+            head_quant=os.environ.get("TARS_HEAD_QUANT", "0") == "1",
+            s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", "float32"),
         )
     )
     t0 = time.perf_counter()
