@@ -112,6 +112,10 @@ def main(argv=None):
     p.add_argument("--stream", action="store_true")
     p.add_argument("--interactive", action="store_true")
     p.add_argument("--test", action="store_true", help="health + one synthesis")
+    p.add_argument("--play", action="store_true",
+                   help="play the result (first available of aplay/paplay/"
+                        "afplay/ffplay; reference client_tts.py plays via "
+                        "sounddevice)")
     args = p.parse_args(argv)
 
     c = TTSClient(args.url)
@@ -131,6 +135,22 @@ def main(argv=None):
         print(c.tts_stream(args.text, args.output, **kw))
     else:
         print(c.tts(args.text, args.output, **kw))
+    if args.play:
+        play_wav(args.output)
+
+
+def play_wav(path: str) -> bool:
+    """Best-effort local playback through whichever CLI player exists."""
+    import shutil
+    import subprocess
+
+    for cmd in (["aplay", path], ["paplay", path], ["afplay", path],
+                ["ffplay", "-nodisp", "-autoexit", "-loglevel", "error", path]):
+        if shutil.which(cmd[0]):
+            return subprocess.call(cmd) == 0
+    print(f"no audio player found (tried aplay/paplay/afplay/ffplay); "
+          f"saved at {path}", file=sys.stderr)
+    return False
 
 
 if __name__ == "__main__":
