@@ -9,7 +9,7 @@ anti-aliased Snake/SnakeBeta, tanh output.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Tuple
 
 import jax

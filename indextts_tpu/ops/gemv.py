@@ -33,7 +33,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # target ~512KB weight tiles: big enough to amortize DMA setup, small enough
 # that double-buffering two operand streams stays well inside scoped VMEM

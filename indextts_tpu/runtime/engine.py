@@ -13,10 +13,8 @@ device-resident, like the reference keeps it GPU-resident (SURVEY §3.2).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Generator, List, Optional, Sequence, Tuple, Union
 
 import jax

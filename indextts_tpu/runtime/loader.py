@@ -15,11 +15,9 @@ loads skip torch entirely.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
-import numpy as np
 
 from indextts_tpu.config import IndexTTS2Config, load_config
 

@@ -12,7 +12,6 @@ import json
 import re
 from typing import Dict, List, Optional
 
-import numpy as np
 
 CN_KEY_TO_EN = {
     "高兴": "happy",

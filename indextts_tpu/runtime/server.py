@@ -16,11 +16,10 @@ import json
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional
 
-import numpy as np
 
 from indextts_tpu.utils import audio as audio_utils
 

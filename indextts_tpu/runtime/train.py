@@ -8,7 +8,6 @@ multi-chip dry-run exercises a real sharded forward+backward.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
