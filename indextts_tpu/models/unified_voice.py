@@ -354,7 +354,19 @@ class UnifiedVoice(nn.Module):
 
         conds = self.build_conds_latent(spk_latents, emovec)  # (B, 34, D)
         emb = jnp.concatenate([conds, text_emb, mel_emb], axis=1)
-        hidden, _ = self.gpt(emb)
+        # Key padding mask: positions beyond [start|text|stop] / [start|mel|
+        # stop] are bucket fill. Masking them makes the padded forward
+        # numerically EQUAL to the reference's exact-shape pass
+        # (model_v2.py:816-827 runs unpadded at B=1): every valid position
+        # has the same embedding and attends to the same key set, so text
+        # bucketing costs nothing and mixed-length batched rows no longer
+        # see one another's text pads.
+        mask_t = jnp.arange(Lt + 2)[None] < (text_lens[:, None] + 2)
+        mask_m = jnp.arange(Lm + 2)[None] < (mel_lens[:, None] + 2)
+        mask = jnp.concatenate(
+            [jnp.ones((B, conds.shape[1]), bool), mask_t, mask_m], axis=1
+        )
+        hidden, _ = self.gpt(emb, attention_mask=mask)
         offset = conds.shape[1]
         enc = self.final_norm(hidden[:, offset:].astype(jnp.float32))
         # mel section = last Lm+2 positions; reference returns [:, :-2] of it

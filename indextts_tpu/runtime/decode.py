@@ -628,6 +628,17 @@ class GPTDecoder:
         best = jnp.argmax(all_scores)
         return all_codes[best][None], all_lens[best][None].astype(jnp.int32)
 
+    def ensure_beam_jit(self):
+        """Materialize the beam jit wrapper. Idempotent; call once from a
+        single thread before issuing concurrent generate_beam calls (the
+        wrapper object itself is not created under a lock — precompile()
+        fans compiles out over threads and must not race its creation)."""
+        if not hasattr(self, "_beam_jit"):
+            self._beam_jit = jax.jit(
+                self._generate_beam,
+                static_argnames=("max_new", "num_beams", "do_sample"),
+            )
+
     def generate_beam(
         self,
         params,
@@ -650,11 +661,7 @@ class GPTDecoder:
         segment with batch 1), and its accel batch engine ignores num_beams
         entirely (model_v2.py:871-883). Multi-request throughput goes through
         the batched sampling loop instead."""
-        if not hasattr(self, "_beam_jit"):
-            self._beam_jit = jax.jit(
-                self._generate_beam,
-                static_argnames=("max_new", "num_beams", "do_sample"),
-            )
+        self.ensure_beam_jit()
         codes, lengths = self._beam_jit(
             params, conds_latent, text_ids, text_pos, text_valid,
             jnp.asarray(repetition_penalty, jnp.float32),

@@ -13,6 +13,7 @@ device-resident, like the reference keeps it GPU-resident (SURVEY §3.2).
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, Generator, List, Optional, Sequence, Tuple, Union
@@ -578,10 +579,25 @@ class IndexTTS2Engine:
         codes_arr = np.full((1, code_bucket), self.cfg.gpt.stop_mel_token, np.int32)
         n_copy = min(code_len, len(codes_row))
         codes_arr[0, :n_copy] = codes_row[:n_copy]  # 0: stop-only row
+        # text bucketed (pads are masked out inside forward_latent, so this
+        # is numerically the exact-shape pass); keeps the latent program's
+        # compile keys on a small (text_bucket, code_bucket) grid instead of
+        # one program per novel text length. Coarser than the decode prompt's
+        # 16-step buckets: pad positions only waste prefill FLOPs here (they
+        # never enter a decode cache), and the coarse grid is what makes
+        # precompile() tractable.
+        if self.precise:
+            text_bucket = n
+        else:
+            text_bucket = min(
+                next_bucket(n, 64, 64), self.cfg.gpt.max_text_tokens
+            )
+        text_arr = np.zeros((1, text_bucket), np.int32)
+        text_arr[0, :n] = np.asarray(text_ids)[:n]
         latent = self._latent_program(
             self.p_gpt,
             spk.spk_latents,
-            jnp.asarray(np.asarray(text_ids)[None], jnp.int32),
+            jnp.asarray(text_arr),
             jnp.asarray([n]),
             jnp.asarray(codes_arr),
             jnp.asarray([code_len]),
@@ -742,10 +758,18 @@ class IndexTTS2Engine:
             n = min(code_lens[b], len(rows[b][0]))
             codes_arr[b, :n] = rows[b][0][:n]  # n==0: stop-only row
 
+        # latent-pass text uses the coarse 64-step grid (pads masked inside
+        # forward_latent), sharing compile keys with the sequential path
+        lat_bucket = bucket if self.precise else min(
+            next_bucket(int(lens.max()), 64, 64), self.cfg.gpt.max_text_tokens
+        )
+        lat_text = np.zeros((B, lat_bucket), np.int32)
+        for b, seg in enumerate(segments):
+            lat_text[b, : len(seg)] = seg
         latent = self._latent_program(
             self.p_gpt,
             jnp.repeat(spk.spk_latents, B, axis=0),
-            jnp.asarray(text), jnp.asarray(lens),
+            jnp.asarray(lat_text), jnp.asarray(lens),
             jnp.asarray(codes_arr), jnp.asarray(code_lens),
             jnp.repeat(emovec, B, axis=0) if emovec.shape[0] == 1 else emovec,
         )
@@ -787,6 +811,159 @@ class IndexTTS2Engine:
             wavs[b, : int(target_exact[b]) * up].astype(np.float32)
             for b in range(B)
         ]
+
+    def precompile(
+        self,
+        spk: SpeakerConditioning,
+        emo: Optional[EmotionConditioning] = None,
+        *,
+        text_buckets: Optional[Sequence[int]] = None,
+        max_code_len: int = 512,
+        max_new: Optional[int] = None,
+        num_beams: Optional[int] = None,
+        do_sample: Optional[bool] = None,
+        workers: int = 4,
+        block: bool = True,
+    ):
+        """Compile the serving envelope's jitted programs up front, in
+        parallel threads (tracing holds the GIL; the XLA compiles run
+        concurrently in C++).
+
+        The reference pays one torch.compile warmup synthesis and then
+        recompiles lazily per dynamic shape (serve_tars.py:143-199). Here
+        every program's compile key lives on a small bucket grid — decode
+        prompt width (16-step), latent-pass text (64-step) x codes (64-step),
+        s2mel target frames (128-step) — so the whole grid up to
+        `max_code_len` codes can be compiled before (or while) traffic
+        arrives, and no request inside the envelope ever hits a compile
+        stall. Shapes outside the envelope still compile on demand.
+
+        Returns the number of programs compiled.
+        """
+        rt = self.cfg.runtime
+        if emo is None:
+            emo = EmotionConditioning(spk.spk_cond_emb, spk.cond_len)
+        mn = max_new or rt.max_mel_tokens
+        nb = rt.num_beams if num_beams is None else num_beams
+        ds = rt.do_sample if do_sample is None else do_sample
+        mt = self.cfg.gpt.max_text_tokens
+        if text_buckets is None:
+            cap_t = min(
+                next_bucket(rt.max_text_tokens_per_segment, 16, 16), mt
+            )
+            text_buckets = list(range(16, cap_t + 1, 16))
+        text_buckets = sorted({min(int(b), mt) for b in text_buckets})
+
+        # warms emovec/build_conds too (cheap, serial)
+        emovec = self._emovec_program(
+            self.p_gpt, spk.spk_cond_emb, emo.emo_cond_emb,
+            jnp.asarray([spk.cond_len]), jnp.asarray([emo.cond_len]),
+            jnp.asarray(1.0, jnp.float32),
+        )
+        conds = self._build_conds_program(self.p_gpt, spk.spk_latents, emovec)
+
+        # the serving decode route (synthesize_segment): beam when nb>1,
+        # else the sampling loop with prefix-KV reuse when supported
+        cond_kv = None
+        if nb <= 1 and self.decoder.supports_cond_kv:
+            cond_kv = self.decoder.cond_prefill({"params": self.p_gpt}, conds)
+        self.decoder.ensure_beam_jit()
+
+        # (code_bucket, target_bucket) combos actually reachable from
+        # code_len in [1, max_code_len] (one code bucket can map to two
+        # target buckets across its code_len range)
+        combos = {}
+        for cl in range(1, max_code_len + 1):
+            cb = next_bucket(cl, 64, 64)
+            tb = next_bucket(int(cl * 1.72), 128, 128)
+            combos.setdefault((cb, tb), cl)
+        lat_buckets = sorted(
+            {min(next_bucket(b, 64, 64), mt) for b in text_buckets}
+        )
+        code_buckets = sorted({cb for cb, _ in combos})
+        target_buckets = sorted({tb for _, tb in combos})
+        D = self.cfg.gpt.model_dim
+
+        def decode_job(bucket):
+            ids, pos, valid = self.decoder.build_text_prompt_arrays(
+                np.ones((1, bucket), np.int32), np.asarray([bucket]), bucket
+            )
+            k = jax.random.PRNGKey(0)
+            if nb > 1:
+                self.decoder.generate_beam(
+                    {"params": self.p_gpt}, conds,
+                    jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+                    max_new=mn, num_beams=nb, do_sample=ds,
+                    key=k if ds else None,
+                )
+            else:
+                self.decoder.generate(
+                    {"params": self.p_gpt}, conds,
+                    jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+                    k, max_new=mn, cond_kv=cond_kv,
+                )
+
+        def latent_job(tb64, cb):
+            self._latent_program(
+                self.p_gpt, spk.spk_latents,
+                jnp.zeros((1, tb64), jnp.int32), jnp.asarray([tb64]),
+                jnp.full((1, cb), self.cfg.gpt.stop_mel_token, jnp.int32),
+                jnp.asarray([cb]), emovec,
+            )
+
+        def s2mel_job(cb, tb, cl):
+            total = spk.ref_mel_len + tb
+            self._s2mel_program(
+                self.p_s2mel, self.p_repcodec,
+                jnp.zeros((1, cb, D), jnp.float32),
+                jnp.full((1, cb), self.cfg.gpt.stop_mel_token, jnp.int32),
+                jnp.asarray([cl]),
+                spk.prompt_condition, spk.ref_mel,
+                jnp.asarray(spk.ref_mel_len), spk.style,
+                jnp.zeros(
+                    (1, self.cfg.s2mel.dit.in_channels, total), jnp.float32
+                ),
+                target_len=tb, total_len=total,
+            )
+
+        def vocoder_job(tb):
+            mel = jnp.full(
+                (1, self.cfg.s2mel.dit.in_channels, tb),
+                float(np.log(1e-5)), jnp.float32,
+            )
+            if rt.device_pcm16:
+                self._vocoder_pcm16_program(self.p_bigvgan, mel)
+            else:
+                self._vocoder_program(self.p_bigvgan, mel)
+
+        jobs = (
+            [functools.partial(decode_job, b) for b in text_buckets]
+            + [
+                functools.partial(latent_job, tb64, cb)
+                for tb64 in lat_buckets
+                for cb in code_buckets
+            ]
+            + [
+                functools.partial(s2mel_job, cb, tb, cl)
+                for (cb, tb), cl in sorted(combos.items())
+            ]
+            + [functools.partial(vocoder_job, tb) for tb in target_buckets]
+        )
+        if workers <= 1:
+            for j in jobs:
+                j()
+            return len(jobs)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers)
+        futs = [pool.submit(j) for j in jobs]
+        if block:
+            for f in futs:
+                f.result()
+            pool.shutdown()
+        else:
+            pool.shutdown(wait=False)
+        return len(jobs)
 
     def infer_text(
         self,

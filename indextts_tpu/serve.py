@@ -194,6 +194,42 @@ def main(argv=None):
         except Exception as e:
             print_stage("Warmup failed", "failed", message_extra=str(e))
 
+    # precompile the serving envelope's bucket grid in background threads
+    # (decode prompt / latent / s2mel / vocoder programs); requests that
+    # arrive meanwhile just block on their own shape's compile as they would
+    # have anyway. TARS_PRECOMPILE=0 disables; TARS_PRECOMPILE_CODES bounds
+    # the covered code length (default 512 ~= 20 s of audio per segment).
+    if (
+        os.environ.get("TARS_PRECOMPILE", "1") == "1"
+        and default_prompt
+        and service is None
+    ):
+        import threading
+
+        def _precompile():
+            t1 = time.perf_counter()
+            try:
+                from indextts_tpu.utils import audio as audio_utils
+
+                wav, sr = audio_utils.load_wav(default_prompt)
+                spk = engine.prepare_speaker(wav, sr, cache_key=default_prompt)
+                n = engine.precompile(
+                    spk,
+                    max_code_len=int(
+                        os.environ.get("TARS_PRECOMPILE_CODES", "512")
+                    ),
+                    workers=int(os.environ.get("TARS_PRECOMPILE_WORKERS", "4")),
+                )
+                print_stage(
+                    f"Precompiled {n} programs", "complete",
+                    time.perf_counter() - t1,
+                )
+            except Exception as e:
+                print_stage("Precompile failed", "failed", message_extra=str(e))
+
+        threading.Thread(target=_precompile, daemon=True,
+                         name="tars-precompile").start()
+
     server = TTSServer(synth, settings, stream_fn=synth_stream)
     GracefulShutdown().install()
     print_stage(f"Serving on {args.host}:{args.port}", "complete")

@@ -77,6 +77,35 @@ def engine():
     return IndexTTS2Engine(cfg, params)
 
 
+def test_precompile_covers_serving_envelope(engine, rng):
+    """precompile() must compile every program a subsequent in-envelope
+    request needs: the request after it may not add a single new compile
+    key (engine.py precompile; the serving wiring is serve.py's background
+    thread)."""
+    sr = 16000
+    prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    spk = engine.prepare_speaker(prompt, sr, cache_key="precompile")
+    n = engine.precompile(spk, max_code_len=64, workers=2)
+    assert n > 0
+
+    progs = {
+        "latent": engine._latent_program,
+        "s2mel": engine._s2mel_program,
+        "vocoder": engine._vocoder_pcm16_program
+        if engine.cfg.runtime.device_pcm16
+        else engine._vocoder_program,
+        "beam": engine.decoder._beam_jit,  # default route: num_beams=3
+    }
+    before = {k: p._cache_size() for k, p in progs.items()}
+
+    text = rng.integers(2, 50, 7)
+    out = engine.infer((prompt, sr), [text], seed=3)
+    assert np.isfinite(out["audio"]).all()
+
+    after = {k: p._cache_size() for k, p in progs.items()}
+    assert after == before, f"request added compiles: {before} -> {after}"
+
+
 def test_e2e_synthesis(engine, rng):
     sr = 16000
     prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)

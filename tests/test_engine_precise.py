@@ -29,22 +29,36 @@ def test_bucketed_matches_precise_waveform(rng):
     valid-boundary WN reflect, canonical noise (ADVICE r1 high-severity)."""
     cfg = tiny_config()
     params = random_params(cfg, seed=0)
+    from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+
     precise = IndexTTS2Engine(cfg, params, precise_shapes=True)
     bucketed = IndexTTS2Engine(cfg, params, precise_shapes=False)
+    # deterministic-length decode (ban the stop token) so the compared body
+    # is guaranteed non-trivial after the receptive-field margin
+    for e in (precise, bucketed):
+        e.decoder = GPTDecoder(
+            e.gpt, cfg.gpt,
+            SamplingConfig(do_sample=True, top_k=30, ban_stop_token=True),
+        )
     sr = 16000
     prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
     text = rng.integers(2, 50, 7)
-    out_p = precise.infer((prompt, sr), [text], seed=5)
-    out_b = bucketed.infer((prompt, sr), [text], seed=5)
+    out_p = precise.infer((prompt, sr), [text], seed=5, num_beams=1)
+    out_b = bucketed.infer((prompt, sr), [text], seed=5, num_beams=1)
     # identical decode -> identical trimmed length
     assert out_p["stats"][0].codes_len == out_b["stats"][0].codes_len
     wav_p, wav_b = out_p["audio"], out_b["audio"]
     assert len(wav_p) == len(wav_b)
     # the vocoder's receptive field at the segment tail sees bucket padding
     # (log(1e-5) silence) instead of the exact buffer edge; everything before
-    # that margin must agree to float tolerance
-    margin = 40 * cfg.vocoder.total_upsample
+    # that margin must agree to float tolerance. The tiny vocoder's RF is
+    # ~5 mel frames (measured: diffs start ~2.5 frames from the end), so a
+    # 10-frame margin leaves a non-empty compared body even for the short
+    # outputs this config produces (a 40-frame margin silently compared
+    # nothing).
+    margin = 10 * cfg.vocoder.total_upsample
     body_p, body_b = wav_p[:-margin], wav_b[:-margin]
+    assert len(body_b) > 2000, "test must compare a non-trivial body"
     np.testing.assert_allclose(body_b, body_p, atol=5e-4, rtol=1e-3)
     assert np.isfinite(wav_b).all()
 
