@@ -139,11 +139,10 @@ def main():
     log(f"steady-state: {audio_per_s:.2f} audio-sec/s (RTF {rtf:.3f})")
 
     # batched AR decode throughput (continuous-batching proxy): B sequences
-    # decoded concurrently in one jitted loop
-    batched_tok_s = None
+    # decoded concurrently in one jitted loop; measured at B=8 and B=16
+    batched_tok_s = {}
     try:
       if os.environ.get("BENCH_BATCHED", "1") != "0":
-        B = int(os.environ.get("BENCH_BATCH", "8"))
         spk = engine.prepare_speaker(prompt, sr, cache_key="bench")
         emo_cond = spk.spk_cond_emb
         emovec = engine._emovec_program(
@@ -152,23 +151,27 @@ def main():
             jnp.asarray(1.0, jnp.float32),
         )
         conds = engine._build_conds_program(engine.p_gpt, spk.spk_latents, emovec)
-        conds_b = jnp.repeat(conds, B, axis=0)
-        ids, pos, valid = engine.decoder.build_text_prompt_arrays(
-            np.tile(text[None], (B, 1)), np.full(B, n_text), bucket=n_text
-        )
-        kb = jax.random.PRNGKey(7)
-        for rep in range(2):  # first = compile, second = timed
-            t0 = time.perf_counter()
-            res = engine.decoder.generate(
-                {"params": engine.p_gpt},
-                conds_b, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
-                kb, max_new=n_codes,
+        batch_sizes = [
+            int(b) for b in os.environ.get("BENCH_BATCH", "8,16").split(",")
+        ]
+        for B in batch_sizes:
+            conds_b = jnp.repeat(conds, B, axis=0)
+            ids, pos, valid = engine.decoder.build_text_prompt_arrays(
+                np.tile(text[None], (B, 1)), np.full(B, n_text), bucket=n_text
             )
-            np.asarray(res.codes)
-            bt = time.perf_counter() - t0
-        batched_tok_s = B * n_codes / bt
-        log(f"batched decode B={B}: {bt:.2f}s -> {batched_tok_s:.0f} tok/s "
-            f"({batched_tok_s * 0.02:.1f} audio-sec/s decode-only)")
+            kb = jax.random.PRNGKey(7)
+            for rep in range(2):  # first = compile, second = timed
+                t0 = time.perf_counter()
+                res = engine.decoder.generate(
+                    {"params": engine.p_gpt},
+                    conds_b, jnp.asarray(ids), jnp.asarray(pos),
+                    jnp.asarray(valid), kb, max_new=n_codes,
+                )
+                np.asarray(res.codes)
+                bt = time.perf_counter() - t0
+            batched_tok_s[B] = B * n_codes / bt
+            log(f"batched decode B={B}: {bt:.2f}s -> {batched_tok_s[B]:.0f} tok/s "
+                f"({batched_tok_s[B] * 0.02:.1f} audio-sec/s decode-only)")
     except Exception as e:  # optional section: never lose the metric line
         log(f"batched decode failed: {e!r}")
 
@@ -177,7 +180,7 @@ def main():
     batched_e2e_audio_s = None
     try:
       if os.environ.get("BENCH_BATCHED_E2E", "1") != "0":
-        Bseg = int(os.environ.get("BENCH_BATCH", "8"))
+        Bseg = int(os.environ.get("BENCH_BATCH_E2E", "8"))
         segs = [text for _ in range(Bseg)]
         for rep in range(2):  # compile then time
             t0 = time.perf_counter()
@@ -208,8 +211,13 @@ def main():
                 else None,
                 "compile_s": round(compile_time, 1),
                 "quant": "w8a8+kv8" if quant else "bf16",
-                "batched_decode_tok_s": round(batched_tok_s, 1)
+                "batched_decode_tok_s": round(
+                    batched_tok_s.get(8, next(iter(batched_tok_s.values()))), 1
+                )
                 if batched_tok_s
+                else None,
+                "batched_decode_tok_s_b16": round(batched_tok_s[16], 1)
+                if 16 in batched_tok_s
                 else None,
                 "batched_e2e_audio_s": round(batched_e2e_audio_s, 2)
                 if batched_e2e_audio_s
