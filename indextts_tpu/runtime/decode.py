@@ -128,24 +128,26 @@ class GPTDecoder:
         sampling: SamplingConfig = SamplingConfig(),
         param_dtype: Any = jnp.float32,
     ):
-        # attn_impl="auto": batch-aware dispatch. Measured on v5e (w8a8):
-        # the fused-dequant int8 Pallas kernel wins at B=1 (965 vs 891 tok/s
-        # short ctx, +3% at 1500 ctx) but loses at B>=8 (2397 vs 3824) where
-        # XLA streams the whole batch's cache better. So: pallas_q8 for
-        # single-stream generate, xla(+kv_quant) for everything else.
+        # attn_impl="auto": measured dispatch. The full sweep
+        # (tools/bench_decode_kernels.py, v5e, w8a8, 400-step decode) has the
+        # XLA attention over the int8 KV cache winning at EVERY batch size:
+        # B=1 896 tok/s vs 793 (pallas_q8 dma) / 802 (grid); B=8 4115 vs
+        # 2558 (grid blk512); B=16 4508 vs 2787. An earlier v5e sweep had
+        # pallas_q8 ahead at B=1 (965 vs 891), but the per-step wins since
+        # (int8 logits-head option, hoisted bucketed-prefix switch, in-place
+        # KV writes) moved the XLA path past it. So "auto" = xla(+kv_quant as
+        # configured) everywhere; the Pallas kernels stay available and
+        # token-exact via TARS_ATTN_IMPL=pallas_q8 / pallas_ragged for
+        # re-measurement on future hardware.
         self._q8_sibling: Optional["GPTDecoder"] = None
         if getattr(model, "attn_impl", "xla") == "auto":
-            base = model.clone(attn_impl="xla")
-            try:
-                on_tpu = jax.devices()[0].platform == "tpu"
-            except Exception:  # pragma: no cover - backend init failure
-                on_tpu = False
-            if on_tpu:
+            if os.environ.get("TARS_Q8_SIBLING", "0") == "1":
+                # opt-in: route B=1 through the fused-dequant int8 kernel
                 self._q8_sibling = GPTDecoder(
                     model.clone(attn_impl="pallas_q8", kv_quant=False),
                     cfg, sampling, param_dtype,
                 )
-            model = base
+            model = model.clone(attn_impl="xla")
         self.model = model
         self.cfg = cfg
         self.sampling = sampling

@@ -97,15 +97,13 @@ class IndexTTS2Engine:
 
         gemv_impl = cfg.runtime.gemv_impl
         if gemv_impl == "auto":
-            # the streaming GEMV kernels only pay off on a real TPU and only
-            # exist for the int8 weight layout; everything else keeps XLA
-            try:
-                on_tpu = jax.devices()[0].platform == "tpu"
-            except Exception:  # pragma: no cover - backend init failure
-                on_tpu = False
-            gemv_impl = (
-                "pallas" if (cfg.runtime.gpt_quantize and on_tpu) else "xla"
-            )
+            # measured on v5e (tools/bench_decode_kernels.py): the streaming
+            # Pallas GEMV is parity with XLA's W8A8 GEMVs at B=1 (893 vs 896
+            # tok/s, within noise) and loses when batched (3660 vs 4115 at
+            # rows<=8) — XLA's fused int8 GEMV stream is already near its
+            # ~60%-of-roofline ceiling. Keep XLA; kernel stays opt-in via
+            # TARS_GEMV_IMPL=pallas.
+            gemv_impl = "xla"
         head_quant = cfg.runtime.head_quant and cfg.runtime.gpt_quantize
         self.gpt = UnifiedVoice(
             cfg.gpt, dtype=gpt_dtype, attn_impl=cfg.runtime.attn_impl,

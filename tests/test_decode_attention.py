@@ -393,8 +393,9 @@ def test_decode_loop_pallas_q8_matches_kv_quant_xla(rng):
 
 def test_attn_impl_auto_dispatch(rng):
     """attn_impl="auto" (the serving default) resolves the decoder to the xla
-    path on non-TPU hosts, and — when the pallas_q8 sibling exists — routes
-    exactly the B=1/no-prefix generate calls through it, token-identically."""
+    path (the measured winner at every batch size), and — when the opt-in
+    pallas_q8 sibling exists (TARS_Q8_SIBLING=1) — routes exactly the
+    B=1/no-prefix generate calls through it, token-identically."""
     import jax
     from indextts_tpu.config import ConditionModuleConfig, GPTConfig
     from indextts_tpu.models.unified_voice import UnifiedVoice

@@ -9,6 +9,15 @@ Timing: np.asarray(res.codes) forces sync (codes are tiny; d2h ok)."""
 import os, sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
+
+# persistent compile cache: the sweep is compile-dominated (~12 full-size
+# decode-program variants); warm reruns skip straight to the measurements
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILE_CACHE", "/tmp/indextts_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from indextts_tpu.config import IndexTTS2Config
 from indextts_tpu.models.unified_voice import UnifiedVoice
 from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
