@@ -343,6 +343,12 @@ class RuntimeConfig:
     # (c_fc -> gelu_new -> c_proj) into one pass and stream each weight byte
     # exactly once; they only engage on single-row (B*T == 1) decode traces.
     gemv_impl: str = "auto"
+    # quantized GPT weight bits (requires gpt_quantize): 8 = W8A8, 4 = W4A8
+    # packed nibbles (two int4 per byte — halves the weight HBM stream
+    # again, the B=1 decode ceiling; coarser fidelity than W8, so opt-in).
+    # The W4 fast path streams through the Pallas gemv_w4/mlp_w4 kernels
+    # (gemv_impl pallas/auto); prefill unpacks per call.
+    gpt_wbits: int = 8
     # int8 logits head (requires gpt_quantize): removes the last unquantized
     # per-step weight stream (mel_head, ~21MB bf16 -> ~10.5MB int8). Off by
     # default until the TPU win is measured (same policy as every kernel
@@ -376,6 +382,7 @@ class RuntimeConfig:
             attn_impl=os.environ.get("TARS_ATTN_IMPL", "auto"),
             kv_quant=_env_flag("TARS_KV_QUANT", False),
             gpt_quantize=_env_flag("TARS_GPT_QUANTIZE", False),
+            gpt_wbits=int(os.environ.get("TARS_GPT_WBITS", "8")),
             gemv_impl=os.environ.get("TARS_GEMV_IMPL", "auto"),
             head_quant=_env_flag("TARS_HEAD_QUANT", False),
             s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", "float32"),

@@ -78,6 +78,14 @@ class Conv1D(nn.Module):
     quantize: bool = False
     gemv: bool = False
     pallas_interpret: bool = False
+    # weight bits when quantized: 8 (W8A8) or 4 (W4A8 packed nibbles, two
+    # int4 per byte — halves the weight HBM stream again; scales stay
+    # per-out-channel so fidelity is coarser than W8: opt-in serving knob)
+    wbits: int = 8
+    # 4-bit nibble-pair axis: False = contraction rows (i, i+d/2) — the
+    # gemv_w4 layout; True = output cols (j, j+f/2) — the layout mlp_w4
+    # needs for its blocked second matmul (GPT2MLP's c_proj)
+    w4_cols: bool = False
 
     @nn.compact
     def __call__(self, x, return_params: bool = False):
@@ -87,6 +95,10 @@ class Conv1D(nn.Module):
                 "kernel", nn.initializers.normal(0.02), (x.shape[-1], self.features)
             )
             return jnp.matmul(x, w.astype(x.dtype)) + b.astype(x.dtype)
+
+        d = x.shape[-1]
+        if self.quantize and self.wbits == 4:
+            return self._call_w4(x, b, d, return_params)
 
         w_q = self.param(
             "kernel_q",
@@ -100,7 +112,6 @@ class Conv1D(nn.Module):
             # fused callers (GPT2MLP's Pallas MLP) read the params directly
             return w_q, w_scale, b
 
-        d = x.shape[-1]
         lead = 1
         for s in x.shape[:-1]:
             lead *= s
@@ -118,6 +129,52 @@ class Conv1D(nn.Module):
                 return y.reshape(x.shape[:-1] + (self.features,)).astype(x.dtype)
 
         # dynamic per-row activation quantization
+        x_q, a_scale = _quant_row(x)
+        y = jax.lax.dot_general(
+            x_q,
+            w_q,
+            (((x_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * a_scale * w_scale[None]
+        return (y + b).astype(x.dtype)
+
+    def _call_w4(self, x, b, d, return_params):
+        from indextts_tpu.ops import gemv as gemv_ops
+
+        shape = (d, self.features // 2) if self.w4_cols else (
+            d // 2, self.features
+        )
+        w_p = self.param(
+            "kernel_q4", lambda k, s: jnp.zeros(s, jnp.int8), shape
+        )
+        w_scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,)
+        )
+        if return_params:
+            return w_p, w_scale, b
+
+        lead = 1
+        for s in x.shape[:-1]:
+            lead *= s
+        single_tok = x.ndim < 3 or x.shape[-2] == 1
+        if (
+            self.gemv
+            and single_tok
+            and lead <= _gemv_max_rows()
+            and not self.w4_cols
+            and gemv_ops.supports_w4(d, self.features)
+        ):
+            x_q, a_scale = _quant_row(x.reshape(lead, d))
+            y = gemv_ops.gemv_w4(
+                x_q, a_scale, w_p, w_scale, b,
+                interpret=self.pallas_interpret,
+            )
+            return y.reshape(x.shape[:-1] + (self.features,)).astype(x.dtype)
+
+        # XLA fallback (prefill / tests): unpack once per call, then the
+        # same int8 contraction as the W8 path
+        w_q = gemv_ops.unpack_w4(w_p, axis=1 if self.w4_cols else 0)
         x_q, a_scale = _quant_row(x)
         y = jax.lax.dot_general(
             x_q,
@@ -215,6 +272,34 @@ def quantize_conv1d_params(tree: dict) -> dict:
             "bias": np.asarray(tree["bias"])}
 
 
+def pack_w4(q, cols: bool = False):
+    """int4 values in [-8,7] -> packed bytes, halving axis 1 (cols=True) or
+    axis 0. Byte = (hi << 4) | (lo & 0xF) with lo = index i, hi = index
+    i + n/2 along the packed axis (ops/gemv.py unpack_w4 inverse)."""
+    import numpy as np
+
+    q = np.asarray(q, np.int32)
+    n = q.shape[1 if cols else 0]
+    assert n % 2 == 0, q.shape
+    lo, hi = (
+        (q[:, : n // 2], q[:, n // 2 :]) if cols else (q[: n // 2], q[n // 2 :])
+    )
+    return ((hi << 4) | (lo & 0xF)).astype(np.int8)
+
+
+def quantize_conv1d_params_w4(tree: dict, cols: bool = False) -> dict:
+    """{kernel, bias} fp -> {kernel_q4, kernel_scale, bias}: symmetric int4
+    per-out-channel weights packed two-per-byte (Conv1D wbits=4 layout)."""
+    import numpy as np
+
+    w = np.asarray(tree["kernel"], np.float32)
+    scale = np.abs(w).max(axis=0) / 7.0 + 1e-12
+    q = np.clip(np.round(w / scale[None]), -7, 7)
+    return {"kernel_q4": pack_w4(q, cols=cols),
+            "kernel_scale": scale.astype(np.float32),
+            "bias": np.asarray(tree["bias"])}
+
+
 def quantize_kv(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-vector int8 absmax quantization over the last (head_dim) axis.
 
@@ -248,6 +333,7 @@ class GPT2Attention(nn.Module):
     attn_impl: str = "xla"  # "xla" | "xla_bucketed" | "pallas_ragged" (decode)
     kv_quant: bool = False  # int8 KV cache (decode only)
     gemv: bool = False  # Pallas streaming GEMV for B=1 decode (ops/gemv.py)
+    wbits: int = 8  # quantized weight bits (Conv1D wbits)
     pallas_interpret: bool = False
 
     @nn.compact
@@ -270,6 +356,7 @@ class GPT2Attention(nn.Module):
         Dh = D // H
 
         qkv = Conv1D(3 * D, quantize=self.quantize, gemv=self.gemv,
+             wbits=self.wbits,
              pallas_interpret=self.pallas_interpret, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -300,6 +387,7 @@ class GPT2Attention(nn.Module):
             )  # (B, H, Dh)
             ctx = ctx.astype(x.dtype).reshape(B, 1, D)
             out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     wbits=self.wbits,
                      pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
             return out, (ck, cv)
 
@@ -344,6 +432,7 @@ class GPT2Attention(nn.Module):
             )  # (B, H, Dh) f32
             ctx = ctx.astype(x.dtype).reshape(B, 1, D)
             out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     wbits=self.wbits,
                      pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
             return out, (k8_b, v8_b, ksc_b, vsc_b)
 
@@ -386,6 +475,7 @@ class GPT2Attention(nn.Module):
             ctx = jnp.einsum("bhts,bhsd->bhtd", pv, v8.astype(x.dtype))
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
             out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     wbits=self.wbits,
                      pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
             return out, (ck, cv, ksc, vsc)
 
@@ -463,6 +553,7 @@ class GPT2Attention(nn.Module):
                     )
                     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
                     out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     wbits=self.wbits,
                      pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
                     return out, new_kv
         else:
@@ -475,6 +566,7 @@ class GPT2Attention(nn.Module):
         ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, D)
         out = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     wbits=self.wbits,
                      pallas_interpret=self.pallas_interpret, name="c_proj")(ctx)
         return out, new_kv
 
@@ -483,13 +575,19 @@ class GPT2MLP(nn.Module):
     dtype: Any = jnp.float32
     quantize: bool = False
     gemv: bool = False
+    wbits: int = 8
     pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
         D = x.shape[-1]
-        fc = Conv1D(4 * D, quantize=self.quantize, name="c_fc")
+        w4 = self.quantize and self.wbits == 4
+        fc = Conv1D(4 * D, quantize=self.quantize, wbits=self.wbits,
+                    name="c_fc")
+        # under w4, c_proj packs nibble pairs along its OUTPUT columns so the
+        # fused kernel's blocked FH contraction reads contiguous block rows
         pj = Conv1D(D, quantize=self.quantize, gemv=self.gemv,
+                     wbits=self.wbits, w4_cols=w4,
                      pallas_interpret=self.pallas_interpret, name="c_proj")
         lead = 1
         for s in x.shape[:-1]:
@@ -499,7 +597,12 @@ class GPT2MLP(nn.Module):
                 and lead <= _gemv_max_rows()):
             from indextts_tpu.ops import gemv as gemv_ops
 
-            if gemv_ops.supports_mlp(D, 4 * D):
+            supported = (
+                gemv_ops.supports_mlp_w4(D, 4 * D)
+                if w4
+                else gemv_ops.supports_mlp(D, 4 * D)
+            )
+            if supported:
                 # fused fc -> gelu_new -> c_proj in one Pallas kernel: both
                 # weight matrices stream through VMEM exactly once (the MLP
                 # is 2/3 of the decode step's weight bytes). The dummy-zeros
@@ -509,7 +612,8 @@ class GPT2MLP(nn.Module):
                     jnp.zeros((1, 1, 4 * D), x.dtype), return_params=True
                 )
                 x_q, a_scale = _quant_row(x.reshape(lead, D))
-                y = gemv_ops.mlp_w8(
+                mlp_fn = gemv_ops.mlp_w4 if w4 else gemv_ops.mlp_w8
+                y = mlp_fn(
                     x_q, a_scale, w1, s1, b1, w2, s2, b2,
                     interpret=self.pallas_interpret,
                 )
@@ -526,6 +630,7 @@ class GPT2Block(nn.Module):
     attn_impl: str = "xla"
     kv_quant: bool = False
     gemv: bool = False
+    wbits: int = 8
     pallas_interpret: bool = False
 
     @nn.compact
@@ -533,12 +638,13 @@ class GPT2Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, name="ln_1", dtype=self.dtype)(x)
         attn_out, new_kv = GPT2Attention(
             self.n_head, self.dtype, self.quantize, self.attn_impl,
-            self.kv_quant, gemv=self.gemv,
+            self.kv_quant, gemv=self.gemv, wbits=self.wbits,
             pallas_interpret=self.pallas_interpret, name="attn"
         )(h, attn_bias, kv_cache, cache_index)
         x = x + attn_out
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2", dtype=self.dtype)(x)
         x = x + GPT2MLP(self.dtype, self.quantize, gemv=self.gemv,
+                        wbits=self.wbits,
                         pallas_interpret=self.pallas_interpret,
                         name="mlp")(h)
         return x, new_kv
@@ -559,6 +665,8 @@ class GPT2Core(nn.Module):
     kv_quant: bool = False
     # "pallas": route B=1 decode GEMVs/MLP through ops/gemv.py kernels
     gemv_impl: str = "xla"
+    # quantized weight bits: 8 (W8A8) or 4 (W4A8 packed nibbles)
+    wbits: int = 8
 
     @nn.compact
     def __call__(
@@ -596,7 +704,7 @@ class GPT2Core(nn.Module):
             for i in range(self.n_layer):
                 x, (k, v) = GPT2Block(
                     self.n_head, self.dtype, self.quantize,
-                    gemv=self.gemv_impl == "pallas",
+                    gemv=self.gemv_impl == "pallas", wbits=self.wbits,
                     pallas_interpret=self.pallas_interpret, name=f"h_{i}"
                 )(x, bias)
                 new_ks.append(k)
@@ -617,7 +725,7 @@ class GPT2Core(nn.Module):
             for i in range(self.n_layer):
                 x, (ks, vs) = GPT2Block(
                     self.n_head, self.dtype, self.quantize, self.attn_impl,
-                    gemv=self.gemv_impl == "pallas",
+                    gemv=self.gemv_impl == "pallas", wbits=self.wbits,
                     pallas_interpret=self.pallas_interpret,
                     name=f"h_{i}",
                 )(
@@ -643,7 +751,7 @@ class GPT2Core(nn.Module):
             for i in range(self.n_layer):
                 x, caches = GPT2Block(
                     self.n_head, self.dtype, self.quantize, self.attn_impl,
-                    gemv=self.gemv_impl == "pallas",
+                    gemv=self.gemv_impl == "pallas", wbits=self.wbits,
                     pallas_interpret=self.pallas_interpret,
                     name=f"h_{i}",
                 )(
@@ -680,7 +788,7 @@ class GPT2Core(nn.Module):
                     x, caches = GPT2Block(
                         self.n_head, self.dtype, self.quantize,
                         self.attn_impl, kv_quant=True,
-                        gemv=self.gemv_impl == "pallas",
+                        gemv=self.gemv_impl == "pallas", wbits=self.wbits,
                         pallas_interpret=self.pallas_interpret,
                         name=f"h_{i}",
                     )(x, bias, kv_cache=caches + (i,),
@@ -714,7 +822,7 @@ class GPT2Core(nn.Module):
             for i in range(self.n_layer):
                 x, (ks, vs) = GPT2Block(
                     self.n_head, self.dtype, self.quantize, impl,
-                    gemv=self.gemv_impl == "pallas",
+                    gemv=self.gemv_impl == "pallas", wbits=self.wbits,
                     pallas_interpret=self.pallas_interpret,
                     name=f"h_{i}",
                 )(x, bias, kv_cache=(ks, vs, i) + extra, cache_index=cache_index)

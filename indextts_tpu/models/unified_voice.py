@@ -48,6 +48,9 @@ class UnifiedVoice(nn.Module):
     # last unquantized per-step weight stream. Params via
     # torch_convert.quantize_gpt_tree(head=True).
     head_quant: bool = False
+    # quantized weight bits for the GPT blocks: 8 (W8A8) or 4 (W4A8 packed
+    # nibbles; params via quantize_gpt_tree(bits=4))
+    wbits: int = 8
 
     def setup(self):
         c = self.cfg
@@ -103,7 +106,7 @@ class UnifiedVoice(nn.Module):
         else:
             self.mel_head = nn.Dense(c.number_mel_codes, name="mel_head")
         self.text_head = nn.Dense(c.number_text_tokens + 1, name="text_head")
-        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, self.attn_impl, self.pallas_interpret, self.kv_quant, gemv_impl=self.gemv_impl, name="gpt")
+        self.gpt = GPT2Core(c.layers, c.heads, self.dtype, self.quantize_gpt, self.attn_impl, self.pallas_interpret, self.kv_quant, gemv_impl=self.gemv_impl, wbits=self.wbits, name="gpt")
 
     # ------------------------------------------------------------------
     # Conditioning

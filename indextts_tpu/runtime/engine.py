@@ -95,15 +95,22 @@ class IndexTTS2Engine:
         self.tokenizer = tokenizer
         self.precise = precise_shapes
 
+        wbits = cfg.runtime.gpt_wbits if cfg.runtime.gpt_quantize else 8
         gemv_impl = cfg.runtime.gemv_impl
         if gemv_impl == "auto":
-            # measured on v5e (tools/bench_decode_kernels.py): the streaming
-            # Pallas GEMV is parity with XLA's W8A8 GEMVs at B=1 (893 vs 896
-            # tok/s, within noise) and loses when batched (3660 vs 4115 at
-            # rows<=8) — XLA's fused int8 GEMV stream is already near its
-            # ~60%-of-roofline ceiling. Keep XLA; kernel stays opt-in via
-            # TARS_GEMV_IMPL=pallas.
-            gemv_impl = "xla"
+            if wbits == 4:
+                # the W4 win only exists through the packed-nibble Pallas
+                # kernels (gemv_w4/mlp_w4 stream half the bytes); the XLA
+                # fallback unpacks the whole matrix every step
+                gemv_impl = "pallas"
+            else:
+                # measured on v5e (tools/bench_decode_kernels.py): the
+                # streaming Pallas GEMV is parity with XLA's W8A8 GEMVs at
+                # B=1 (893 vs 896 tok/s, within noise) and loses when batched
+                # (3660 vs 4115 at rows<=8) — XLA's fused int8 GEMV stream is
+                # already near its ~60%-of-roofline ceiling. Keep XLA; kernel
+                # stays opt-in via TARS_GEMV_IMPL=pallas.
+                gemv_impl = "xla"
         head_quant = cfg.runtime.head_quant and cfg.runtime.gpt_quantize
         self.gpt = UnifiedVoice(
             cfg.gpt, dtype=gpt_dtype, attn_impl=cfg.runtime.attn_impl,
@@ -111,6 +118,7 @@ class IndexTTS2Engine:
             quantize_gpt=cfg.runtime.gpt_quantize,
             gemv_impl=gemv_impl,
             head_quant=head_quant,
+            wbits=wbits,
         )
         self.s2mel = S2Mel(cfg.s2mel)
         self.bigvgan = BigVGAN(cfg.vocoder, dtype=voc_dtype)
@@ -147,7 +155,9 @@ class IndexTTS2Engine:
         if cfg.runtime.gpt_quantize:
             from indextts_tpu.runtime.torch_convert import quantize_gpt_tree
 
-            p_gpt_raw = quantize_gpt_tree(p_gpt_raw, head=head_quant)
+            p_gpt_raw = quantize_gpt_tree(
+                p_gpt_raw, head=head_quant, bits=wbits
+            )
         self.p_gpt = put_as(p_gpt_raw, gpt_dtype)
         # s2mel compute dtype (config.s2mel_dtype): bf16 params + bf16
         # activations through the MXU-bound DiT/regulator; the CFM Euler

@@ -711,15 +711,28 @@ def convert_dvae(sd: SD, cfg) -> dict:
     return p
 
 
-def quantize_gpt_tree(p_gpt: dict, head: bool = False) -> dict:
+def quantize_gpt_tree(p_gpt: dict, head: bool = False, bits: int = 8) -> dict:
     """Quantize a converted UnifiedVoice param tree's GPT-2 block matmuls to
-    W8A8 (models/gpt2.py Conv1D quantize=True layout). Embeddings and norms
-    stay float; `head=True` additionally converts mel_head to the lane-padded
+    W8A8 (models/gpt2.py Conv1D quantize=True layout) or, with bits=4, to the
+    packed-nibble W4A8 layout (Conv1D wbits=4; the MLP c_proj packs along its
+    output columns for the fused mlp_w4 kernel). Embeddings and norms stay
+    float; `head=True` additionally converts mel_head to the lane-padded
     int8 layout (gpt2.QuantDenseHead — the decode-step logits GEMV)."""
     from indextts_tpu.models.gpt2 import (
         quantize_conv1d_params,
+        quantize_conv1d_params_w4,
         quantize_dense_head_params,
     )
+
+    assert bits in (8, 4), bits
+    if bits == 4:
+        def qrows(t):
+            return quantize_conv1d_params_w4(t)
+
+        def qmlp_proj(t):
+            return quantize_conv1d_params_w4(t, cols=True)
+    else:
+        qrows = qmlp_proj = quantize_conv1d_params
 
     out = dict(p_gpt)
     if head:
@@ -730,12 +743,12 @@ def quantize_gpt_tree(p_gpt: dict, head: bool = False) -> dict:
             continue
         layer = dict(layer)
         attn = dict(layer["attn"])
-        attn["c_attn"] = quantize_conv1d_params(attn["c_attn"])
-        attn["c_proj"] = quantize_conv1d_params(attn["c_proj"])
+        attn["c_attn"] = qrows(attn["c_attn"])
+        attn["c_proj"] = qrows(attn["c_proj"])
         layer["attn"] = attn
         mlp = dict(layer["mlp"])
-        mlp["c_fc"] = quantize_conv1d_params(mlp["c_fc"])
-        mlp["c_proj"] = quantize_conv1d_params(mlp["c_proj"])
+        mlp["c_fc"] = qrows(mlp["c_fc"])
+        mlp["c_proj"] = qmlp_proj(mlp["c_proj"])
         layer["mlp"] = mlp
         gpt[name] = layer
     out["gpt"] = gpt
