@@ -311,22 +311,25 @@ class RuntimeConfig:
     length_penalty: float = 0.0
     num_beams: int = 3
     repetition_penalty: float = 10.0
-    # compress >30 silent tokens (id 52) down to runs of 10. NOTE: the
-    # reference *defines* this for v2 (infer_v2.py:410-465) but only ever
-    # calls it in the v1 engine (infer.py:450,639); v2's live path is a plain
-    # stop-trim. Default on (audible-quality win); set False for strict v2
-    # output parity.
-    remove_long_silence: bool = True
+    # compress >30 silent tokens (id 52) down to runs of 10. The reference
+    # *defines* this for v2 (infer_v2.py:410-465) but its live v2 path only
+    # stop-trims (infer_v2.py:795-807; the compressor is called by v1 only,
+    # infer.py:450,639) — so the default matches the reference's live
+    # behavior. Set True for the opt-in silence-compression enhancement.
+    remove_long_silence: bool = False
     # compute dtype for the GPT decode loop ("bfloat16" | "float32")
     gpt_dtype: str = "bfloat16"
-    # decode attention implementation: "auto" (batch-aware dispatch: the
-    # pallas_q8 kernel for B=1 sampling on TPU — measured +8% tok/s on v5e —
-    # and xla(+kv_quant) everywhere else), "xla" (full-cap), "xla_bucketed"
-    # (prefix-bucketed lax.switch; token-identical, less HBM traffic),
-    # "pallas_ragged" (ragged kernel, transposed caches), "pallas_q8"
-    # (int8 block-major caches + fused-dequant Pallas kernel; the cache is
-    # DMA'd once per step as int8 — sampling path only, beam falls back to
-    # the float cache)
+    # decode attention implementation: "auto" resolves to "xla" (+kv_quant as
+    # configured) at EVERY batch size — the full v5e sweep
+    # (tools/bench_decode_kernels.py) has XLA over the int8 KV cache ahead of
+    # every Pallas variant (B=1 896 tok/s vs 802 best-Pallas, B=8 4115 vs
+    # 2558, B=16 4508 vs 2787). Explicit values: "xla" (full-cap),
+    # "xla_bucketed" (prefix-bucketed lax.switch; token-identical, less HBM
+    # traffic), "pallas_ragged" (ragged kernel, transposed caches),
+    # "pallas_q8" (int8 block-major caches + fused-dequant Pallas kernel;
+    # sampling path only, beam falls back to the float cache). The Pallas
+    # kernels stay opt-in (TARS_ATTN_IMPL / TARS_Q8_SIBLING=1) for
+    # re-measurement on future hardware.
     attn_impl: str = "auto"
     # int8 KV cache in the decode loop (per-vector absmax; halves the
     # dominant decode HBM stream). Slight logits perturbation — sampling
@@ -347,7 +350,9 @@ class RuntimeConfig:
     # packed nibbles (two int4 per byte — halves the weight HBM stream
     # again, the B=1 decode ceiling; coarser fidelity than W8, so opt-in).
     # The W4 fast path streams through the Pallas gemv_w4/mlp_w4 kernels
-    # (gemv_impl pallas/auto); prefill unpacks per call.
+    # (gemv_impl pallas/auto); prefill unpacks per call. W4 targets
+    # B=1/low-row decode: batched decode (B>=8) exceeds the GEMV row
+    # threshold and unpacks every weight matrix per step — use W8 there.
     gpt_wbits: int = 8
     # int8 logits head (requires gpt_quantize): removes the last unquantized
     # per-step weight stream (mel_head, ~21MB bf16 -> ~10.5MB int8). Off by

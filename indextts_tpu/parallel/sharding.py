@@ -37,13 +37,28 @@ GPT_PARTITION_RULES = [
     # whose outputs are psum-reduced full-width). Listed before the float
     # rules because first-match-wins and re.search("kernel") also hits
     # "kernel_scale" with an out-of-rank spec.
-    (r"gpt/h_\d+/attn/c_attn/kernel_q", P(None, "model")),
+    # W4 packed-nibble layout (Conv1D wbits=4, kernel_q4) — listed before
+    # the kernel_q rules because re.search("kernel_q") also matches
+    # "kernel_q4" and the packed axes shard differently:
+    #   * c_attn/c_fc pack CONTRACTION rows (pairs i, i+d/2 along axis 0);
+    #     axis 0 stays replicated, the un-packed output axis column-shards.
+    #   * attn c_proj also packs its contraction rows — but those rows are
+    #     the head-sharded activation dim, and the packed pairs (i, i+d/2)
+    #     interleave shards, so row-sharding would misalign with the
+    #     activations and force regather collectives: replicate instead.
+    #   * mlp c_proj (w4_cols=True) packs OUTPUT cols; its un-packed
+    #     contraction axis row-shards like the float kernel.
+    (r"gpt/h_\d+/attn/c_attn/kernel_q4$", P(None, "model")),
+    (r"gpt/h_\d+/attn/c_proj/kernel_q4$", P()),
+    (r"gpt/h_\d+/mlp/c_fc/kernel_q4$", P(None, "model")),
+    (r"gpt/h_\d+/mlp/c_proj/kernel_q4$", P("model", None)),
+    (r"gpt/h_\d+/attn/c_attn/kernel_q$", P(None, "model")),
     (r"gpt/h_\d+/attn/c_attn/kernel_scale", P("model")),
-    (r"gpt/h_\d+/attn/c_proj/kernel_q", P("model", None)),
+    (r"gpt/h_\d+/attn/c_proj/kernel_q$", P("model", None)),
     (r"gpt/h_\d+/attn/c_proj/kernel_scale", P()),
-    (r"gpt/h_\d+/mlp/c_fc/kernel_q", P(None, "model")),
+    (r"gpt/h_\d+/mlp/c_fc/kernel_q$", P(None, "model")),
     (r"gpt/h_\d+/mlp/c_fc/kernel_scale", P("model")),
-    (r"gpt/h_\d+/mlp/c_proj/kernel_q", P("model", None)),
+    (r"gpt/h_\d+/mlp/c_proj/kernel_q$", P("model", None)),
     (r"gpt/h_\d+/mlp/c_proj/kernel_scale", P()),
     # GPT-2 blocks: column-shard fused qkv + mlp up, row-shard projections
     (r"gpt/h_\d+/attn/c_attn/kernel", P(None, "model")),

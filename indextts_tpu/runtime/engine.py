@@ -98,10 +98,16 @@ class IndexTTS2Engine:
         wbits = cfg.runtime.gpt_wbits if cfg.runtime.gpt_quantize else 8
         gemv_impl = cfg.runtime.gemv_impl
         if gemv_impl == "auto":
-            if wbits == 4:
+            on_tpu = jax.devices()[0].platform == "tpu"
+            if wbits == 4 and on_tpu:
                 # the W4 win only exists through the packed-nibble Pallas
                 # kernels (gemv_w4/mlp_w4 stream half the bytes); the XLA
-                # fallback unpacks the whole matrix every step
+                # fallback unpacks the whole matrix every step. Non-TPU
+                # backends can't run the kernels (no pallas_interpret plumbed
+                # here), so they take the XLA unpack path instead of failing
+                # inside pallas_call. Note W4 targets B=1/low-row decode:
+                # batched decode rows exceed TARS_GEMV_MAX_ROWS and fall back
+                # to per-step unpacking, usually slower than W8.
                 gemv_impl = "pallas"
             else:
                 # measured on v5e (tools/bench_decode_kernels.py): the

@@ -118,9 +118,10 @@ def our_config() -> IndexTTS2Config:
             # repetition penalty), matching the reference call with top_k=1 —
             # its HF path hardcodes do_sample=True (infer_v2.py:767), so
             # true greedy is unreachable there
+            # remove_long_silence keeps its default (False): the reference v2
+            # live path only stop-trims, so the default is already parity
             diffusion_steps=2, max_mel_tokens=24, do_sample=True, num_beams=1,
             top_k=1,
-            remove_long_silence=False,  # the reference v2 only stop-trims
         ),
     )
 
