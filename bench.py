@@ -178,6 +178,7 @@ def main():
     # batched END-TO-END: one request of B segments through one AR loop +
     # batched latent/s2mel/vocoder (engine batched mode)
     batched_e2e_audio_s = None
+    batched_stages = None
     try:
       if os.environ.get("BENCH_BATCHED_E2E", "1") != "0":
         Bseg = int(os.environ.get("BENCH_BATCH_E2E", "8"))
@@ -194,6 +195,22 @@ def main():
             f"batched e2e B={Bseg}: wall={bt:.2f}s audio={out['duration_sec']:.2f}s"
             f" -> {batched_e2e_audio_s:.2f} audio-sec/s (rtf {bt / out['duration_sec']:.3f})"
         )
+        # per-stage batched breakdown: one extra run with stage barriers
+        # (TARS_STAGE_SYNC forces a scalar d2h per stage; the official
+        # number above stays fully async)
+        os.environ["TARS_STAGE_SYNC"] = "1"
+        try:
+            engine.infer(
+                (prompt, sr), segs, seed=11, max_mel_tokens=n_codes,
+                batched=True, num_beams=1, do_sample=True,
+            )
+            batched_stages = {
+                k: round(v, 3)
+                for k, v in getattr(engine, "_last_batched_stats", {}).items()
+            }
+            log(f"batched e2e stages (sync'd): {batched_stages}")
+        finally:
+            os.environ.pop("TARS_STAGE_SYNC", None)
     except Exception as e:
         log(f"batched e2e failed: {e!r}")
 
@@ -222,6 +239,7 @@ def main():
                 "batched_e2e_audio_s": round(batched_e2e_audio_s, 2)
                 if batched_e2e_audio_s
                 else None,
+                "batched_stages": batched_stages,
             }
         )
     )

@@ -57,9 +57,14 @@ class ContinuousBatcher:
     ):
         assert getattr(decoder.model, "attn_impl", "xla") in (
             "xla", "xla_bucketed"
-        ) and not getattr(decoder.model, "kv_quant", False), (
-            "continuous batching uses the standard float cache layout"
+        ), (
+            "continuous batching needs a scatter-insertable cache layout "
+            "(xla / xla_bucketed; float or kv_quant int8)"
         )
+        if getattr(decoder.model, "kv_quant", False):
+            assert getattr(decoder.model, "attn_impl", "xla") == "xla", (
+                "kv_quant requires attn_impl='xla'"
+            )
         self.dec = decoder
         self.params = params
         self.B = n_slots
@@ -75,7 +80,8 @@ class ContinuousBatcher:
         self.completed: List[CompletedRequest] = []
 
         L, H, Dh = cfg.layers, cfg.heads, cfg.head_dim
-        dt = decoder.model.dtype
+        self.kv_quant = bool(getattr(decoder.model, "kv_quant", False))
+        dt = jnp.int8 if self.kv_quant else decoder.model.dtype
         self.state: Dict[str, Any] = {
             "ks": jnp.zeros((L, self.B, H, self.cap, Dh), dt),
             "vs": jnp.zeros((L, self.B, H, self.cap, Dh), dt),
@@ -92,6 +98,11 @@ class ContinuousBatcher:
             "top_p": jnp.asarray(top_p, jnp.float32),
             "rep_penalty": jnp.asarray(repetition_penalty, jnp.float32),
         }
+        if self.kv_quant:
+            # int8 cache scale planes (quantize-on-insert: admitted requests'
+            # prefill KV is written int8+scale, decode reads int8 only)
+            self.state["ksc"] = jnp.zeros((L, self.B, H, self.cap), jnp.float32)
+            self.state["vsc"] = jnp.zeros((L, self.B, H, self.cap), jnp.float32)
 
     # -- request intake -----------------------------------------------------
 
@@ -120,14 +131,17 @@ class ContinuousBatcher:
             ids, pos, valid = self.dec.build_text_prompt_arrays(
                 p.text_ids[None], np.asarray([len(p.text_ids)]), self.bucket
             )
-            pk, pv, logits1, mask1, S = self.dec.prefill_request(
+            pieces, logits1, mask1, S = self.dec.prefill_request(
                 self.params, p.conds, jnp.asarray(ids), jnp.asarray(pos),
                 jnp.asarray(valid), cap=self.cap,
             )
             slot_i = jnp.asarray(int(slot), jnp.int32)
-            st["ks"], st["vs"] = self.dec.insert_slot(
-                st["ks"], st["vs"], pk, pv, slot_i
+            keys = ("ks", "vs", "ksc", "vsc")[: len(pieces)]
+            new = self.dec.insert_slot(
+                tuple(st[k] for k in keys), pieces, slot_i
             )
+            for k, v in zip(keys, new):
+                st[k] = v
             b = int(slot)
             st["logits"] = st["logits"].at[b].set(logits1[0])
             st["cap_mask"] = st["cap_mask"].at[b].set(mask1[0])
@@ -214,19 +228,19 @@ class ContinuousService:
         self.max_new = max_new or rt.max_mel_tokens
         dec = engine.decoder
         model = dec.model
-        if (getattr(model, "kv_quant", False)
-                or getattr(model, "attn_impl", "xla") not in ("xla", "xla_bucketed")):
-            # the batcher's scatter-insert works on the standard float cache;
-            # build a float-cache sibling decoder (same params — W8A8 weights
-            # are cache-layout-independent) instead of rejecting the config
-            from indextts_tpu.models.unified_voice import UnifiedVoice
+        if getattr(model, "attn_impl", "xla") not in ("xla", "xla_bucketed"):
+            # the batcher's scatter-insert works on the standard (float or
+            # int8 kv_quant) cache layouts; Pallas blocked/transposed layouts
+            # get an xla sibling decoder (clone keeps every other knob — same
+            # params, weights are cache-layout-independent) instead of
+            # rejecting the config. kv_quant carries over: quantize-on-insert,
+            # not a float detour.
             from indextts_tpu.runtime.decode import GPTDecoder
 
-            m2 = UnifiedVoice(
-                engine.cfg.gpt, dtype=model.dtype, attn_impl="xla",
-                quantize_gpt=getattr(model, "quantize_gpt", False),
+            dec = GPTDecoder(
+                model.clone(attn_impl="xla"), engine.cfg.gpt, dec.sampling,
+                dec.param_dtype,
             )
-            dec = GPTDecoder(m2, engine.cfg.gpt, dec.sampling, dec.param_dtype)
         self.bat = ContinuousBatcher(
             dec,
             {"params": engine.p_gpt},

@@ -160,11 +160,14 @@ class GPTDecoder:
 
     @property
     def supports_cond_kv(self) -> bool:
-        """Whether generate(cond_kv=...) is usable: prefix-KV reuse keeps the
-        standard float cache layout (int8/blocked layouts re-prefill)."""
-        return not getattr(self.model, "kv_quant", False) and getattr(
-            self.model, "attn_impl", "xla"
-        ) in ("xla", "xla_bucketed")
+        """Whether generate(cond_kv=...) is usable. The standard float layout
+        and the int8 layout (kv_quant: cond KV is cached already-quantized,
+        see cond_prefill) both reuse; only the Pallas blocked/transposed
+        layouts re-prefill."""
+        impl = getattr(self.model, "attn_impl", "xla")
+        if getattr(self.model, "kv_quant", False):
+            return impl == "xla"
+        return impl in ("xla", "xla_bucketed")
 
     # -- prompt assembly (host side, tiny) ---------------------------------
 
@@ -208,6 +211,37 @@ class GPTDecoder:
             params, emb, caches, cache_index, kv_valid_len, cap_mask,
             method=UnifiedVoice.gpt_decode_step,
         )
+
+    def _prefill_with_cond(self, params, cond_kv, tail, cap_mask, B: int,
+                           cap: int):
+        """Chunk-prefill the text tail on top of the cached FLOAT conds-prefix
+        KV (cond_prefill output). Allocates width-`cap` float caches with the
+        prefix scattered at [0, P), runs the tail through one decode-step
+        chunk, and returns (last_hidden, ks, vs) — width-cap float caches
+        holding the full prompt KV, ready to use directly (float layout) or
+        to quantize (kv_quant layout, same values the monolithic prefill
+        quantizes)."""
+        ck0, cv0 = cond_kv
+        L, _, H, P, Dh = ck0.shape
+        S = P + tail.shape[1]
+        ks = jnp.zeros((L, B, H, cap, Dh), ck0.dtype)
+        vs = jnp.zeros((L, B, H, cap, Dh), cv0.dtype)
+        ks = jax.lax.dynamic_update_slice(
+            ks, jnp.broadcast_to(ck0, (L, B, H, P, Dh)), (0, 0, 0, 0, 0)
+        )
+        vs = jax.lax.dynamic_update_slice(
+            vs, jnp.broadcast_to(cv0, (L, B, H, P, Dh)), (0, 0, 0, 0, 0)
+        )
+        hidden, (ks, vs) = self.model.apply(
+            params,
+            tail,
+            (ks, vs),
+            P,
+            jnp.full((B,), S, jnp.int32),
+            cap_mask,
+            method=UnifiedVoice.gpt_decode_step,
+        )
+        return hidden[:, -1], ks, vs
 
     def _generate(
         self,
@@ -326,34 +360,24 @@ class GPTDecoder:
                 caches = (ks, vs)
             last_hidden = hidden[:, -1]
         else:
-            assert not getattr(model, "kv_quant", False), (
-                "prefix-KV reuse keeps the float cache layout"
-            )
             # prefix-KV reuse (reference: accel/kv_manager.py:106-198 chained-
             # hash block reuse): the conds section's KV depends only on the
-            # conds latents (causal prefix), so a per-speaker cached (ck0,cv0)
-            # replaces its prefill; only the text tail is chunk-prefilled.
-            ck0, cv0 = cond_kv
-            assert ck0.shape[3] == P, (ck0.shape, P)
-            L, _, H, _, Dh = ck0.shape
-            ks = jnp.zeros((L, B, H, cap, Dh), ck0.dtype)
-            vs = jnp.zeros((L, B, H, cap, Dh), cv0.dtype)
-            ks = jax.lax.dynamic_update_slice(
-                ks, jnp.broadcast_to(ck0, (L, B, H, P, Dh)), (0, 0, 0, 0, 0)
+            # conds latents (causal prefix), so a per-speaker cached float
+            # prefix replaces its prefill; only the text tail is
+            # chunk-prefilled. Under kv_quant the combined float KV is then
+            # quantized — the same values the monolithic prefill quantizes,
+            # so greedy parity holds and the decode loop reads int8 only.
+            last_hidden, ks, vs = self._prefill_with_cond(
+                params, cond_kv, tail, cap_mask, B, cap
             )
-            vs = jax.lax.dynamic_update_slice(
-                vs, jnp.broadcast_to(cv0, (L, B, H, P, Dh)), (0, 0, 0, 0, 0)
-            )
-            hidden, caches = model.apply(
-                params,
-                tail,
-                (ks, vs),
-                P,
-                jnp.full((B,), S, jnp.int32),
-                cap_mask,
-                method=UnifiedVoice.gpt_decode_step,
-            )
-            last_hidden = hidden[:, -1]
+            if getattr(model, "kv_quant", False):
+                from indextts_tpu.models.gpt2 import quantize_kv
+
+                kq, ksc = quantize_kv(ks)
+                vq, vsc = quantize_kv(vs)
+                caches = (kq, vq, ksc, vsc)
+            else:
+                caches = (ks, vs)
 
         last_logits = model.apply(
             params, last_hidden, method=UnifiedVoice.mel_logits_from_hidden
@@ -438,6 +462,7 @@ class GPTDecoder:
         temperature: Optional[jnp.ndarray] = None,
         top_p: Optional[jnp.ndarray] = None,
         do_sample: bool = False,
+        cond_kv=None,
     ):
         """HF _beam_search semantics (vendored
         transformers_generation_utils.py:3325-3560), both variants:
@@ -454,44 +479,72 @@ class GPTDecoder:
         with the Gumbel-top-k trick, which samples the identical
         distribution — and sorted by their unperturbed scores. Token-exact
         parity with torch.multinomial is impossible (different RNG); the
-        deterministic variant is the token-parity target."""
+        deterministic variant is the token-parity target.
+
+        Cache layouts: float, or int8+scales when kv_quant (the reference-
+        default serving route then pays the same halved KV stream as the
+        sampling loop). cond_kv (from cond_prefill, layout-matched) replaces
+        the conds-section prefill — only the text tail is chunk-prefilled."""
         cfg = self.cfg
         model = self.model
         s = self.sampling
         nb = num_beams
         V = cfg.number_mel_codes
+        quant = bool(getattr(model, "kv_quant", False))
 
         text_emb = model.apply(
             params, text_ids, text_pos, text_valid,
             method=UnifiedVoice.embed_text_prompt,
         )
         start_emb = model.apply(params, 1, method=UnifiedVoice.embed_mel_start)
-        prompt = jnp.concatenate(
-            [conds_latent.astype(text_emb.dtype), text_emb,
-             start_emb.astype(text_emb.dtype)], axis=1,
+        P = conds_latent.shape[1]
+        tail = jnp.concatenate(
+            [text_emb, start_emb.astype(text_emb.dtype)], axis=1
         )
         prompt_mask = jnp.concatenate(
-            [jnp.ones((1, conds_latent.shape[1]), bool), text_valid,
-             jnp.ones((1, 1), bool)], axis=1,
-        )
-        S = prompt.shape[1]
-        cap = S + max_new
-
-        hidden, (pk, pv) = model.apply(
-            params, prompt, prompt_mask, method=UnifiedVoice.gpt_prefill
-        )
-        L, _, H, _, Dh = pk.shape
-        # expand to beams
-        ks = jnp.zeros((L, nb, H, cap, Dh), pk.dtype)
-        vs = jnp.zeros((L, nb, H, cap, Dh), pv.dtype)
-        ks = jax.lax.dynamic_update_slice(ks, jnp.repeat(pk, nb, axis=1), (0, 0, 0, 0, 0))
-        vs = jax.lax.dynamic_update_slice(vs, jnp.repeat(pv, nb, axis=1), (0, 0, 0, 0, 0))
-        cap_mask = jnp.concatenate(
-            [jnp.repeat(prompt_mask, nb, axis=0), jnp.ones((nb, max_new), bool)],
+            [jnp.ones((1, P), bool), text_valid, jnp.ones((1, 1), bool)],
             axis=1,
         )
+        S = P + tail.shape[1]
+        cap = S + max_new
+        cap_mask1 = jnp.concatenate(
+            [prompt_mask, jnp.ones((1, max_new), bool)], axis=1
+        )
+
+        if cond_kv is not None:
+            # conds prefix from the per-speaker float cache; chunk-prefill
+            # the tail at B=1 (same numerics discipline as _generate)
+            last_hidden, ks1, vs1 = self._prefill_with_cond(
+                params, cond_kv, tail, cap_mask1, 1, cap
+            )
+        else:
+            prompt = jnp.concatenate(
+                [conds_latent.astype(text_emb.dtype), tail], axis=1
+            )
+            hidden, (pk, pv) = model.apply(
+                params, prompt, prompt_mask, method=UnifiedVoice.gpt_prefill
+            )
+            last_hidden = hidden[:, -1]
+            L, _, H, _, Dh = pk.shape
+            ks1 = jnp.zeros((L, 1, H, cap, Dh), pk.dtype)
+            vs1 = jnp.zeros((L, 1, H, cap, Dh), pv.dtype)
+            ks1 = jax.lax.dynamic_update_slice(ks1, pk, (0, 0, 0, 0, 0))
+            vs1 = jax.lax.dynamic_update_slice(vs1, pv, (0, 0, 0, 0, 0))
+        if quant:
+            from indextts_tpu.models.gpt2 import quantize_kv
+
+            kq, ksc = quantize_kv(ks1)
+            vq, vsc = quantize_kv(vs1)
+            caches1 = (kq, vq, ksc, vsc)
+        else:
+            caches1 = (ks1, vs1)
+        # expand to beams (prefill KV identical across beams)
+        caches = jax.tree_util.tree_map(
+            lambda c: jnp.repeat(c, nb, axis=1), caches1
+        )
+        cap_mask = jnp.repeat(cap_mask1, nb, axis=0)
         logits0 = model.apply(
-            params, hidden[:, -1], method=UnifiedVoice.mel_logits_from_hidden
+            params, last_hidden, method=UnifiedVoice.mel_logits_from_hidden
         )
         logits0 = jnp.repeat(logits0, nb, axis=0)
 
@@ -508,7 +561,7 @@ class GPTDecoder:
         fin_lens0 = jnp.zeros((nb,), jnp.int32)
 
         def body_fn(state):
-            (step, codes, logits, ks, vs, beam_scores, penal,
+            (step, codes, logits, caches, beam_scores, penal,
              fin_scores, fin_codes, fin_lens, key) = state
             # HF beam_search order: log_softmax FIRST, then processors
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -576,25 +629,27 @@ class GPTDecoder:
 
             codes = codes[beam_idx]
             penal = penal[beam_idx]
-            ks = ks[:, beam_idx]
-            vs = vs[:, beam_idx]
+            # reorder every cache component (int8 codes + scales included) by
+            # the surviving beams — HF _reorder_cache (model_v2.py:227-240)
+            caches = jax.tree_util.tree_map(
+                lambda c: c[:, beam_idx], caches
+            )
             codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
             penal = penal.at[jnp.arange(nb), tok].set(True)
 
             emb = model.apply(params, tok, step, method=UnifiedVoice.embed_mel_step)
-            hidden, (ks, vs) = model.apply(
-                params, emb, (ks, vs), S + step,
+            hidden, caches = self._decode_step_call(
+                params, emb, caches, S + step,
                 jnp.full((nb,), S + step + 1, jnp.int32), cap_mask,
-                method=UnifiedVoice.gpt_decode_step,
             )
             logits = model.apply(
                 params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
             )
-            return (step + 1, codes, logits, ks, vs, beam_scores, penal,
+            return (step + 1, codes, logits, caches, beam_scores, penal,
                     fin_scores, fin_codes, fin_lens, key)
 
         def cond_fn(state):
-            (step, _, _, _, _, beam_scores, _, fin_scores, _, _, _) = state
+            (step, _, _, _, beam_scores, _, fin_scores, _, _, _) = state
             # HF is_done (early_stopping=False): nb finalized AND the worst
             # finalized beats the best possible active continuation
             n_fin_full = fin_scores[nb - 1] > NEG_INF
@@ -612,10 +667,10 @@ class GPTDecoder:
         if top_p is None:
             top_p = jnp.asarray(1.0, jnp.float32)
         state = (
-            jnp.asarray(0, jnp.int32), codes0, logits0, ks, vs,
+            jnp.asarray(0, jnp.int32), codes0, logits0, caches,
             beam_scores0, penal0, fin_scores0, fin_codes0, fin_lens0, key,
         )
-        (step, codes, _, _, _, beam_scores, _, fin_scores, fin_codes,
+        (step, codes, _, _, beam_scores, _, fin_scores, fin_codes,
          fin_lens, _) = jax.lax.while_loop(cond_fn, body_fn, state)
 
         # finalize: merge still-active beams (no eos; length = step)
@@ -656,6 +711,7 @@ class GPTDecoder:
         key: Optional[jnp.ndarray] = None,
         temperature: float = 1.0,
         top_p: float = 1.0,
+        cond_kv=None,
     ) -> GenerateResult:
         """Beam decode for ONE request (B=1; the batch axis carries the nb
         beams). This matches the reference exactly: its HF beam path also
@@ -673,6 +729,7 @@ class GPTDecoder:
             temperature=jnp.asarray(temperature, jnp.float32),
             top_p=jnp.asarray(top_p, jnp.float32),
             do_sample=do_sample,
+            cond_kv=cond_kv,
         )
         return GenerateResult(codes=codes, lengths=lengths)
 
@@ -687,8 +744,12 @@ class GPTDecoder:
 
     def prefill_request(self, params, conds_latent, text_ids, text_pos,
                         text_valid, cap: int):
-        """Prefill ONE request (B=1). Returns (pk, pv (L,1,H,cap,Dh),
-        last_logits (1,V), cap_mask (1,cap), S)."""
+        """Prefill ONE request (B=1). Returns (cache_pieces, last_logits
+        (1,V), cap_mask (1,cap), S). cache_pieces is layout-matched to the
+        model: (pk, pv) float (L,1,H,cap,Dh), or with kv_quant the
+        quantize-on-insert pieces (kq, ksc, vq, vsc) — the admitted request's
+        KV is written int8, so continuous-batched serving pays the halved KV
+        stream from its first decode step (no float-sibling fallback)."""
         if not hasattr(self, "_prefill_req_jit"):
             self._prefill_req_jit = jax.jit(
                 self._prefill_request, static_argnames=("cap",)
@@ -719,28 +780,44 @@ class GPTDecoder:
             params, prompt, prompt_mask, method=UnifiedVoice.gpt_prefill
         )
         L, _, H, _, Dh = pk.shape
-        ks = jnp.zeros((L, 1, H, cap, Dh), pk.dtype)
-        vs = jnp.zeros((L, 1, H, cap, Dh), pv.dtype)
-        ks = jax.lax.dynamic_update_slice(ks, pk, (0, 0, 0, 0, 0))
-        vs = jax.lax.dynamic_update_slice(vs, pv, (0, 0, 0, 0, 0))
+        padS = [(0, 0), (0, 0), (0, 0), (0, cap - S), (0, 0)]
+        if getattr(model, "kv_quant", False):
+            from indextts_tpu.models.gpt2 import quantize_kv
+
+            kq, ksc = quantize_kv(pk)
+            vq, vsc = quantize_kv(pv)
+            pad_sc = [(0, 0), (0, 0), (0, 0), (0, cap - S)]
+            # cache-tuple component order: (ks, vs, ksc, vsc)
+            pieces = (
+                jnp.pad(kq, padS), jnp.pad(vq, padS),
+                jnp.pad(ksc, pad_sc), jnp.pad(vsc, pad_sc),
+            )
+        else:
+            pieces = (jnp.pad(pk, padS), jnp.pad(pv, padS))
         cap_mask = jnp.concatenate(
             [prompt_mask, jnp.ones((1, cap - S), bool)], axis=1
         )
         last_logits = model.apply(
             params, hidden[:, -1], method=UnifiedVoice.mel_logits_from_hidden
         )
-        return ks, vs, last_logits, cap_mask, S
+        return pieces, last_logits, cap_mask, S
 
-    def insert_slot(self, ks, vs, pk, pv, slot):
-        """Write a prefilled request's cache rows into batch slot `slot`."""
+    def insert_slot(self, caches, pieces, slot):
+        """Write a prefilled request's cache rows into batch slot `slot`.
+
+        caches/pieces are layout-matched tuples: float (ks, vs) with
+        (pk, pv), or int8 (ks, vs, ksc, vsc) with (kq, ksc, vq, vsc) — every
+        component scatters at batch index `slot`."""
         if not hasattr(self, "_insert_jit"):
-            def f(ks, vs, pk, pv, slot):
-                ks = jax.lax.dynamic_update_slice(ks, pk, (0, slot, 0, 0, 0))
-                vs = jax.lax.dynamic_update_slice(vs, pv, (0, slot, 0, 0, 0))
-                return ks, vs
+            def f(caches, pieces, slot):
+                out = []
+                for c, p in zip(caches, pieces):
+                    idx = (0, slot) + (0,) * (c.ndim - 2)
+                    out.append(jax.lax.dynamic_update_slice(c, p, idx))
+                return tuple(out)
 
-            self._insert_jit = jax.jit(f, donate_argnums=(0, 1))
-        return self._insert_jit(ks, vs, pk, pv, slot)
+            self._insert_jit = jax.jit(f, donate_argnums=(0,))
+        return self._insert_jit(tuple(caches), tuple(pieces), slot)
 
     def step_chunk(self, params, state, chunk: int, max_new: int):
         """Advance all slots by up to `chunk` decode steps (early exit when
@@ -800,21 +877,32 @@ class GPTDecoder:
                 params, tok, st["gen_count"], method=UnifiedVoice.embed_mel_step
             )
             pos = jnp.minimum(st["pos"], st["ks"].shape[3] - 1)
-            hidden, (ks, vs) = self._decode_step_call(
-                params, emb, (st["ks"], st["vs"]), pos, pos + 1,
+            # cache tuple is layout-matched: float (ks, vs) or int8
+            # (ks, vs, ksc, vsc) when the state carries scale planes
+            if "ksc" in st:
+                caches = (st["ks"], st["vs"], st["ksc"], st["vsc"])
+            else:
+                caches = (st["ks"], st["vs"])
+            hidden, caches = self._decode_step_call(
+                params, emb, caches, pos, pos + 1,
                 st["cap_mask"],
             )
             logits = model.apply(
                 params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
             )
+            new_caches = (
+                {"ks": caches[0], "vs": caches[1], "ksc": caches[2],
+                 "vsc": caches[3]}
+                if len(caches) == 4
+                else {"ks": caches[0], "vs": caches[1]}
+            )
             return {
                 **st,
+                **new_caches,
                 "i": st["i"] + 1,
                 "key": key,
                 "codes": codes,
                 "logits": logits,
-                "ks": ks,
-                "vs": vs,
                 "pos": jnp.where(idle, st["pos"], st["pos"] + 1),
                 "gen_count": gen_count,
                 "finished": finished,
@@ -826,14 +914,19 @@ class GPTDecoder:
         state.pop("i")
         return state
 
-    def cond_prefill(self, params, conds_latent) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Prefill the conds-only prefix and return its KV (L, B, H, P, Dh).
+    def cond_prefill(self, params, conds_latent) -> Tuple[jnp.ndarray, ...]:
+        """Prefill the conds-only prefix and return its float KV
+        (pk, pv) each (L, B, H, P, Dh).
 
         The conds section is the causal prefix of every prompt, so its KV
         depends only on the conds latents — cache the result per speaker and
-        pass it to generate(cond_kv=...) to skip its prefill (the TPU analog
-        of the reference's cross-request prefix reuse,
-        accel/kv_manager.py:106-198).
+        pass it to generate(cond_kv=...)/generate_beam(cond_kv=...) to skip
+        its prefill (the TPU analog of the reference's cross-request prefix
+        reuse, accel/kv_manager.py:106-198). The prefix is cached FLOAT even
+        under kv_quant: the text tail chunk-prefills against the float
+        prefix and the combined KV is quantized afterwards — exactly the
+        values the monolithic int8 prefill quantizes, so greedy parity holds
+        (it is ~8 MB per speaker; the decode loop still reads int8 only).
 
         Numerics: greedy decode is bit-identical to the monolithic prefill
         (tests/test_prefix_kv.py); sampled decode is identically distributed

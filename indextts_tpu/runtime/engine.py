@@ -512,6 +512,18 @@ class IndexTTS2Engine:
         ds = do_sample if do_sample is not None else rt.do_sample
         temp = temperature if temperature is not None else rt.temperature
         tp = top_p if top_p is not None else rt.top_p
+        # per-speaker conds-prefix KV reuse (float and int8 layouts; only the
+        # Pallas blocked/transposed layouts re-prefill — supports_cond_kv)
+        cond_kv = None
+        if cond_kv_key is not None and self.decoder.supports_cond_kv:
+            cond_kv = self._cond_kv_cache.get(cond_kv_key)
+            if cond_kv is None:
+                cond_kv = self.decoder.cond_prefill(
+                    {"params": self.p_gpt}, conds
+                )
+                if len(self._cond_kv_cache) >= 8:  # bounded (serving)
+                    self._cond_kv_cache.pop(next(iter(self._cond_kv_cache)))
+                self._cond_kv_cache[cond_kv_key] = cond_kv
         if nb > 1:
             res = self.decoder.generate_beam(
                 {"params": self.p_gpt},
@@ -529,20 +541,9 @@ class IndexTTS2Engine:
                 key=key if ds else None,
                 temperature=temp,
                 top_p=tp,
+                cond_kv=cond_kv,
             )
         else:
-            cond_kv = None
-            # int8 cache layouts re-prefill (prefix reuse keeps the float
-            # layout); guard so kv_quant serving never trips the decode assert
-            if cond_kv_key is not None and self.decoder.supports_cond_kv:
-                cond_kv = self._cond_kv_cache.get(cond_kv_key)
-                if cond_kv is None:
-                    cond_kv = self.decoder.cond_prefill(
-                        {"params": self.p_gpt}, conds
-                    )
-                    if len(self._cond_kv_cache) >= 8:  # bounded (serving)
-                        self._cond_kv_cache.pop(next(iter(self._cond_kv_cache)))
-                    self._cond_kv_cache[cond_kv_key] = cond_kv
             res = self.decoder.generate(
                 {"params": self.p_gpt},
                 conds,
@@ -690,6 +691,14 @@ class IndexTTS2Engine:
             bigvgan_time=t_voc,
         )
 
+    @staticmethod
+    def _force(x) -> None:
+        """Synchronize on a device value by reducing to a scalar and pulling
+        it to host (block_until_ready is unreliable through the axon tunnel;
+        a scalar d2h is an unambiguous barrier). Only used under
+        TARS_STAGE_SYNC=1 profiling — normal runs stay fully async."""
+        float(jnp.sum(x.astype(jnp.float32)))
+
     def synthesize_segments_batched(
         self,
         spk: SpeakerConditioning,
@@ -745,6 +754,23 @@ class IndexTTS2Engine:
             key = jax.random.PRNGKey(seed)
         else:
             self._rng, key = jax.random.split(self._rng)
+        # per-stage wall clocks; only meaningful with TARS_STAGE_SYNC=1 (each
+        # stage then synchronizes before the next timestamp — profiling mode;
+        # default leaves dispatch async and the table shows dispatch skew)
+        import os as _os
+
+        sync = _os.environ.get("TARS_STAGE_SYNC", "0") == "1"
+        tstage: Dict[str, float] = {}
+        t_mark = time.perf_counter()
+
+        def mark(name, value=None):
+            nonlocal t_mark
+            if sync and value is not None:
+                self._force(value)
+            now = time.perf_counter()
+            tstage[name] = tstage.get(name, 0.0) + (now - t_mark)
+            t_mark = now
+
         res = self.decoder.generate(
             {"params": self.p_gpt}, conds_b,
             jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid), key,
@@ -755,6 +781,7 @@ class IndexTTS2Engine:
         )
         codes_np = np.asarray(res.codes)
         lengths = np.asarray(res.lengths)
+        mark("decode")
         # per-row stop trim + optional silent-run compression
         rows = [
             self.remove_long_silence(
@@ -780,6 +807,7 @@ class IndexTTS2Engine:
         lat_text = np.zeros((B, lat_bucket), np.int32)
         for b, seg in enumerate(segments):
             lat_text[b, : len(seg)] = seg
+        mark("host_trim")
         latent = self._latent_program(
             self.p_gpt,
             jnp.repeat(spk.spk_latents, B, axis=0),
@@ -787,6 +815,7 @@ class IndexTTS2Engine:
             jnp.asarray(codes_arr), jnp.asarray(code_lens),
             jnp.repeat(emovec, B, axis=0) if emovec.shape[0] == 1 else emovec,
         )
+        mark("latent", latent)
 
         target_exact = (code_lens * 1.72).astype(np.int64)
         target_len = int(target_exact.max()) if self.precise else next_bucket(
@@ -807,6 +836,7 @@ class IndexTTS2Engine:
             spk.prompt_condition, spk.ref_mel, jnp.asarray(spk.ref_mel_len),
             spk.style, noise, target_len=target_len, total_len=total_len,
         )
+        mark("s2mel", vc)
         mel_out = vc[:, :, spk.ref_mel_len : spk.ref_mel_len + target_len]
         # silence-fill the padded frames so conv leakage stays inaudible
         frame_idx = np.arange(target_len)
@@ -820,6 +850,8 @@ class IndexTTS2Engine:
             ).astype(np.float32) / 32767.0
         else:
             wavs = np.asarray(self._vocoder_program(self.p_bigvgan, mel_out))
+        mark("vocoder")
+        self._last_batched_stats = dict(tstage)
         up = self.cfg.vocoder.total_upsample
         return [
             wavs[b, : int(target_exact[b]) * up].astype(np.float32)
@@ -877,9 +909,10 @@ class IndexTTS2Engine:
         conds = self._build_conds_program(self.p_gpt, spk.spk_latents, emovec)
 
         # the serving decode route (synthesize_segment): beam when nb>1,
-        # else the sampling loop with prefix-KV reuse when supported
+        # else the sampling loop; both reuse the conds-prefix KV when the
+        # layout supports it
         cond_kv = None
-        if nb <= 1 and self.decoder.supports_cond_kv:
+        if self.decoder.supports_cond_kv:
             cond_kv = self.decoder.cond_prefill({"params": self.p_gpt}, conds)
         self.decoder.ensure_beam_jit()
 
@@ -908,7 +941,7 @@ class IndexTTS2Engine:
                     {"params": self.p_gpt}, conds,
                     jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
                     max_new=mn, num_beams=nb, do_sample=ds,
-                    key=k if ds else None,
+                    key=k if ds else None, cond_kv=cond_kv,
                 )
             else:
                 self.decoder.generate(

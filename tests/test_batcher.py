@@ -87,6 +87,50 @@ def test_batcher_matches_individual_greedy(rng, attn_impl):
         np.testing.assert_array_equal(c.codes, w)
 
 
+def test_batcher_kv_quant_matches_individual_greedy(rng):
+    """Quantize-on-insert: the continuous batcher under kv_quant writes
+    admitted requests' prefill KV int8 and decodes over the int8 stream —
+    tokens identical to individual kv_quant decodes (VERDICT r2 #3: no
+    float-sibling fallback)."""
+    model = UnifiedVoice(CFG, kv_quant=True)
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
+    params = _params(model)
+    bucket, max_new = 8, 12
+
+    reqs = []
+    for i in range(5):
+        conds = jnp.asarray(
+            np.random.default_rng(100 + i).standard_normal((1, 34, 64)),
+            jnp.float32,
+        )
+        n = 3 + (i % 4)
+        text = np.random.default_rng(200 + i).integers(2, 50, n)
+        reqs.append((conds, text))
+
+    want = []
+    for conds, text in reqs:
+        ids, pos, valid = dec.build_text_prompt_arrays(
+            text[None], np.asarray([len(text)]), bucket
+        )
+        r = dec.generate(
+            params, conds, jnp.asarray(ids), jnp.asarray(pos),
+            jnp.asarray(valid), jax.random.PRNGKey(0), max_new=max_new,
+        )
+        n = int(np.asarray(r.lengths)[0])
+        want.append(np.asarray(r.codes)[0, :n])
+
+    bat = ContinuousBatcher(
+        dec, params, n_slots=2, text_bucket=bucket, max_new=max_new,
+        chunk_steps=4,
+    )
+    assert bat.kv_quant and bat.state["ks"].dtype == jnp.int8
+    ids = [bat.submit(c, t) for c, t in reqs]
+    done = bat.run()
+    assert [c.req_id for c in done] == ids
+    for c, w in zip(done, want):
+        np.testing.assert_array_equal(c.codes, w)
+
+
 def test_batcher_rejects_oversize_text():
     model = UnifiedVoice(CFG)
     dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
@@ -96,9 +140,12 @@ def test_batcher_rejects_oversize_text():
         bat.submit(jnp.zeros((1, 34, 64)), np.arange(9))
 
 
-def test_continuous_service_end_to_end():
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_continuous_service_end_to_end(kv_quant):
     """ContinuousService: concurrent segment futures produce the same audio
-    as sequential synthesize_segment (greedy, same seed noise)."""
+    as sequential synthesize_segment (greedy, same seed noise). Under
+    kv_quant the service decodes over the int8 cache (quantize-on-insert) —
+    same stream as the sequential path, so audio still matches exactly."""
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, str(Path(__file__).parent))
     from test_engine_e2e import tiny_config
@@ -114,8 +161,12 @@ def test_continuous_service_end_to_end():
 
     cfg = tiny_config()
     # greedy for bit-stable comparison
-    cfg = dc.replace(cfg, runtime=dc.replace(cfg.runtime, do_sample=False))
+    cfg = dc.replace(cfg, runtime=dc.replace(cfg.runtime, do_sample=False,
+                                             kv_quant=kv_quant))
     engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    if kv_quant:
+        assert engine.decoder is not None
+        assert getattr(engine.decoder.model, "kv_quant", False)
     wav = (np.random.default_rng(3).standard_normal(16000) * 0.1).astype(np.float32)
     spk = engine.prepare_speaker(wav, 16000)
     emo = EmotionConditioning(spk.spk_cond_emb, spk.cond_len)
