@@ -369,6 +369,13 @@ class RuntimeConfig:
     # (reference output semantics: clamp(32767*wav).int16, infer_v2.py:866;
     # halves d2h bytes). The engine's public float API rescales by 1/32767.
     device_pcm16: bool = True
+    # cross-request TEXT-prefix KV reuse (reference: chained block hashes,
+    # accel/kv_manager.py:106-198): serving requests that share a text
+    # prefix (templated prompts) reuse its prefilled KV at a 32-token grid.
+    # Prompts are then built LEFT-aligned (numerically equivalent; pads are
+    # masked), so sampled output can differ from the right-aligned default
+    # in ulp-tie cases — off by default, enable with TARS_PREFIX_REUSE=1.
+    text_prefix_reuse: bool = False
     # static decode-loop bucket sizes (text prompt padded to one of these)
     text_buckets: Tuple[int, ...] = (32, 64, 128)
     # KV cache capacity of the jitted decode program
@@ -381,6 +388,7 @@ class RuntimeConfig:
     def from_env() -> "RuntimeConfig":
         return RuntimeConfig(
             diffusion_steps=int(os.environ.get("TARS_DIFFUSION_STEPS", "20")),
+            max_mel_tokens=int(os.environ.get("TARS_MAX_MEL_TOKENS", "1500")),
             cfg_rate=float(os.environ.get("TARS_CFG_RATE", "0.7")),
             max_concurrency=int(os.environ.get("TARS_MAX_CONCURRENCY", "1")),
             enable_streaming=_env_flag("TARS_ENABLE_STREAMING", True),
@@ -392,6 +400,7 @@ class RuntimeConfig:
             head_quant=_env_flag("TARS_HEAD_QUANT", False),
             s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", "float32"),
             device_pcm16=_env_flag("TARS_DEVICE_PCM16", True),
+            text_prefix_reuse=_env_flag("TARS_PREFIX_REUSE", False),
         )
 
 

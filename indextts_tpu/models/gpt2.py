@@ -438,11 +438,15 @@ class GPT2Attention(nn.Module):
 
         if kv_cache is not None and self.kv_quant:
             # int8 KV cache: kv_cache = (ck, cv int8 (L,B,H,cap,Dh), ksc, vsc
-            # f32 (L,B,H,cap), layer_idx). Both attention matmuls read the
-            # int8 cache directly; the per-token scales fold into the scores
-            # (k) and the probs (v), so the cache's HBM stream — the decode
-            # throughput ceiling at B>=8 — halves vs bf16.
-            ck, cv, ksc, vsc, layer_idx = kv_cache
+            # f32 (L,B,H,cap), layer_idx[, prefix_limit]). Both attention
+            # matmuls read the int8 cache directly; the per-token scales fold
+            # into the scores (k) and the probs (v), so the cache's HBM
+            # stream — the decode throughput ceiling at B>=8 — halves vs
+            # bf16. A STATIC prefix_limit additionally bounds the read to the
+            # first prefix_limit positions (phased decode: the caller
+            # guarantees every valid position is below it), making the read
+            # prefix-proportional instead of full-cap.
+            ck, cv, ksc, vsc, layer_idx, *extra_q = kv_cache
             kq, k_sc = quantize_kv(k)  # (B,H,T,Dh) int8, (B,H,T) f32
             vq, v_sc = quantize_kv(v)
             if getattr(cache_index, "ndim", 0) == 1:
@@ -466,6 +470,13 @@ class GPT2Attention(nn.Module):
                 )
             k8, v8 = ck[layer_idx], cv[layer_idx]          # (B,H,cap,Dh) int8
             ksc_l, vsc_l = ksc[layer_idx], vsc[layer_idx]  # (B,H,cap) f32
+            if extra_q and isinstance(extra_q[0], int):
+                lim = extra_q[0]
+                k8 = jax.lax.slice_in_dim(k8, 0, lim, axis=2)
+                v8 = jax.lax.slice_in_dim(v8, 0, lim, axis=2)
+                ksc_l = jax.lax.slice_in_dim(ksc_l, 0, lim, axis=2)
+                vsc_l = jax.lax.slice_in_dim(vsc_l, 0, lim, axis=2)
+                attn_bias = jax.lax.slice_in_dim(attn_bias, 0, lim, axis=3)
             scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
             raw = jnp.einsum("bhtd,bhsd->bhts", q, k8.astype(q.dtype))
             scores = raw.astype(jnp.float32) * scale * ksc_l[:, :, None, :]
@@ -784,6 +795,7 @@ class GPT2Core(nn.Module):
                         valid, attention_mask.astype(bool)[:, None, :]
                     )
                 bias = jnp.where(valid[:, None], 0.0, NEG_INF)
+                extra_q = (prefix_limit,) if prefix_limit is not None else ()
                 for i in range(self.n_layer):
                     x, caches = GPT2Block(
                         self.n_head, self.dtype, self.quantize,
@@ -791,7 +803,7 @@ class GPT2Core(nn.Module):
                         gemv=self.gemv_impl == "pallas", wbits=self.wbits,
                         pallas_interpret=self.pallas_interpret,
                         name=f"h_{i}",
-                    )(x, bias, kv_cache=caches + (i,),
+                    )(x, bias, kv_cache=caches + (i,) + extra_q,
                       cache_index=cache_index)
                 x = nn.LayerNorm(epsilon=1e-5, name="ln_f",
                                  dtype=self.dtype)(x)

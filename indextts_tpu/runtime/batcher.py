@@ -181,6 +181,21 @@ class ContinuousBatcher:
                 st["active"] = st["active"].at[b].set(False)
                 self._slot_req[b] = None
 
+    def _chunk_prefix_limit(self):
+        """STATIC attention-read bound for the next chunk: the deepest active
+        slot's position after `chunk` more steps, rounded up to the phased-
+        decode grid (decoder.PHASE; None = full-cap). Host-side, but the host
+        reads this state every chunk anyway (harvest)."""
+        G = self.dec.PHASE
+        if G <= 0:
+            return None
+        active = np.asarray(self.state["active"])
+        if not active.any():
+            return None
+        deepest = int(np.asarray(self.state["pos"])[active].max()) + self.chunk
+        lim = min(-(-(deepest + 1) // G) * G, self.cap)
+        return lim if lim < self.cap else None
+
     def run(self, max_chunks: int = 10_000) -> List[CompletedRequest]:
         """Drain the queue; returns all completed requests."""
         chunks = 0
@@ -189,7 +204,9 @@ class ContinuousBatcher:
             if not any(a is not None for a in self._slot_req):
                 break
             self.state = self.dec.step_chunk(
-                self.params, self.state, chunk=self.chunk, max_new=self.max_new
+                self.params, self.state, chunk=self.chunk,
+                max_new=self.max_new,
+                prefix_limit=self._chunk_prefix_limit(),
             )
             for b in range(self.B):
                 if self._slot_req[b] is not None:
@@ -327,6 +344,7 @@ class ContinuousService:
             self.bat.state = self.bat.dec.step_chunk(
                 self.bat.params, self.bat.state, chunk=self.bat.chunk,
                 max_new=self.bat.max_new,
+                prefix_limit=self.bat._chunk_prefix_limit(),
             )
             for b in range(self.bat.B):
                 if self.bat._slot_req[b] is not None:

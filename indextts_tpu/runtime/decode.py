@@ -172,11 +172,18 @@ class GPTDecoder:
     # -- prompt assembly (host side, tiny) ---------------------------------
 
     def build_text_prompt_arrays(
-        self, text_ids: np.ndarray, text_lens: np.ndarray, bucket: int
+        self, text_ids: np.ndarray, text_lens: np.ndarray, bucket: int,
+        align: str = "right",
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Right-align [start][text][stop] inside a (B, bucket+2) buffer.
+        """Place [start][text][stop] inside a (B, bucket+2) buffer.
 
-        Mirrors prepare_gpt_inputs left-padding (model_v2.py:749-779)."""
+        align="right" mirrors prepare_gpt_inputs left-padding
+        (model_v2.py:749-779) — pads before the sequence. align="left" puts
+        the sequence first (pads after): numerically equivalent (pads are
+        masked and carry no position), but shared text PREFIXES then occupy
+        request-independent window slots, which is what text-prefix KV reuse
+        needs (reference analog: chained block hashes,
+        accel/kv_manager.py:106-115)."""
         B = text_ids.shape[0]
         L = bucket + 2
         ids = np.zeros((B, L), dtype=np.int32)
@@ -187,28 +194,69 @@ class GPTDecoder:
             seq = [self.cfg.start_text_token] + list(text_ids[b, :n]) + [
                 self.cfg.stop_text_token
             ]
-            off = L - len(seq)
-            ids[b, off:] = seq
-            pos[b, off:] = np.arange(len(seq))
-            valid[b, off:] = True
+            off = 0 if align == "left" else L - len(seq)
+            ids[b, off:off + len(seq)] = seq
+            pos[b, off:off + len(seq)] = np.arange(len(seq))
+            valid[b, off:off + len(seq)] = True
         return ids, pos, valid
+
+    def text_prefix_prefill(self, params, conds_latent, prefix_ids):
+        """Prefill [conds][start_text][prefix tokens] and return its float KV
+        (pk, pv) each (L, 1, H, P+1+m, Dh) — a reusable cross-request prefix
+        for generate(cond_kv=...) when prompts are built LEFT-aligned (the
+        prefix then occupies the same window slots in every request sharing
+        it). The engine caches these per (speaker, text-prefix-hash) at a
+        fixed grid, the TPU analog of the reference's chained-hash text-block
+        reuse (accel/kv_manager.py:106-198)."""
+        m = len(prefix_ids)
+        ids = np.concatenate(
+            [[self.cfg.start_text_token], np.asarray(prefix_ids)]
+        ).astype(np.int32)[None]
+        pos = np.arange(m + 1, dtype=np.int32)[None]
+        valid = np.ones((1, m + 1), bool)
+        if not hasattr(self, "_text_prefix_jit"):
+            def f(params, conds_latent, ids, pos, valid):
+                emb = self.model.apply(
+                    params, ids, pos, valid,
+                    method=UnifiedVoice.embed_text_prompt,
+                )
+                prompt = jnp.concatenate(
+                    [conds_latent.astype(emb.dtype), emb], axis=1
+                )
+                mask = jnp.ones(prompt.shape[:2], dtype=bool)
+                _, (pk, pv) = self.model.apply(
+                    params, prompt, mask, method=UnifiedVoice.gpt_prefill
+                )
+                return pk, pv
+
+            self._text_prefix_jit = jax.jit(f)
+        return self._text_prefix_jit(
+            params, conds_latent, jnp.asarray(ids), jnp.asarray(pos),
+            jnp.asarray(valid),
+        )
 
     # -- jitted generation --------------------------------------------------
 
     # token-block size of the int8 block-major cache (attn_impl="pallas_q8")
     BLKQ = int(os.environ.get("TARS_BLKQ", "256"))
+    # phased-decode grid: >0 subdivides the decode loop into phases whose
+    # attention reads are statically bounded to the growing valid prefix
+    # (lane-aligned multiples; 0 disables = single full-cap loop)
+    PHASE = int(os.environ.get("TARS_DECODE_PHASE", "0"))
 
     def _decode_step_call(self, params, emb, caches, cache_index,
-                          kv_valid_len, cap_mask):
+                          kv_valid_len, cap_mask, prefix_limit=None):
         """One transformer decode step. `caches` is (ks, vs) or, with
         kv_quant, (ks, vs, ksc, vsc) int8+scales. Bucketed-prefix attention
         (attn_impl="xla_bucketed") is handled inside GPT2Core with a
         per-layer lax.switch wrapping only the ctx computation — wrapping
         the whole layer stack in one switch was measured 2.3x slower at cap
         1664 because XLA conditionals copy the loop-carried caches at the
-        branch boundary."""
+        branch boundary. A STATIC prefix_limit instead bounds the read with
+        a zero-overhead static slice (phased decode)."""
         return self.model.apply(
             params, emb, caches, cache_index, kv_valid_len, cap_mask,
+            prefix_limit,
             method=UnifiedVoice.gpt_decode_step,
         )
 
@@ -361,14 +409,18 @@ class GPTDecoder:
             last_hidden = hidden[:, -1]
         else:
             # prefix-KV reuse (reference: accel/kv_manager.py:106-198 chained-
-            # hash block reuse): the conds section's KV depends only on the
-            # conds latents (causal prefix), so a per-speaker cached float
-            # prefix replaces its prefill; only the text tail is
-            # chunk-prefilled. Under kv_quant the combined float KV is then
-            # quantized — the same values the monolithic prefill quantizes,
-            # so greedy parity holds and the decode loop reads int8 only.
+            # hash block reuse): the cached float prefix covers the conds
+            # section (width P) or, with text-prefix reuse (LEFT-aligned
+            # prompts), conds + start_text + m text tokens (width P+1+m) —
+            # the chunk prefill then computes only the remaining tail. Under
+            # kv_quant the combined float KV is then quantized — the same
+            # values the monolithic prefill quantizes, so greedy parity holds
+            # and the decode loop reads int8 only.
+            prefix_extra = cond_kv[0].shape[3] - P
             last_hidden, ks, vs = self._prefill_with_cond(
-                params, cond_kv, tail, cap_mask, B, cap
+                params, cond_kv,
+                tail[:, prefix_extra:] if prefix_extra else tail,
+                cap_mask, B, cap,
             )
             if getattr(model, "kv_quant", False):
                 from indextts_tpu.models.gpt2 import quantize_kv
@@ -391,41 +443,52 @@ class GPTDecoder:
         codes0 = jnp.full((B, max_new), cfg.stop_mel_token, dtype=jnp.int32)
         finished0 = jnp.zeros((B,), dtype=bool)
 
-        def cond_fn(state):
-            step, _, _, _, finished, _, _ = state
-            return jnp.logical_and(step < max_new, ~jnp.all(finished))
+        def make_cond(end: int):
+            def cond_fn(state):
+                step, _, _, _, finished, _, _ = state
+                return jnp.logical_and(step < end, ~jnp.all(finished))
 
-        def body_fn(state):
-            step, codes, logits, caches, finished, key, penal_mask = state
-            key, sub = jax.random.split(key)
-            lg = logits
-            if s.use_repetition_penalty:
-                lg = _repetition_penalty(lg, penal_mask, repetition_penalty)
-            if s.use_typical_sampling:
-                lg = typical_filter(lg, s.typical_mass)
-            if s.ban_stop_token:
-                lg = lg.at[:, cfg.stop_mel_token].set(NEG_INF)
-            if s.do_sample:
-                tok = _apply_top_k_top_p_sample(lg, sub, temperature, top_p, s.top_k)
-            else:
-                tok = jnp.argmax(lg, axis=-1)
-            tok = jnp.where(finished, cfg.stop_mel_token, tok).astype(jnp.int32)
-            codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
-            newly_finished = tok == cfg.stop_mel_token
-            finished = jnp.logical_or(finished, newly_finished)
-            penal_mask = penal_mask.at[jnp.arange(B), tok].set(True)
+            return cond_fn
 
-            emb = self.model.apply(
-                params, tok, step, method=UnifiedVoice.embed_mel_step
-            )
-            hidden, caches = self._decode_step_call(
-                params, emb, caches, S + step,
-                jnp.full((B,), S + step + 1, jnp.int32), cap_mask,
-            )
-            logits = self.model.apply(
-                params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
-            )
-            return (step + 1, codes, logits, caches, finished, key, penal_mask)
+        def make_body(prefix_limit):
+            def body_fn(state):
+                step, codes, logits, caches, finished, key, penal_mask = state
+                key, sub = jax.random.split(key)
+                lg = logits
+                if s.use_repetition_penalty:
+                    lg = _repetition_penalty(lg, penal_mask, repetition_penalty)
+                if s.use_typical_sampling:
+                    lg = typical_filter(lg, s.typical_mass)
+                if s.ban_stop_token:
+                    lg = lg.at[:, cfg.stop_mel_token].set(NEG_INF)
+                if s.do_sample:
+                    tok = _apply_top_k_top_p_sample(
+                        lg, sub, temperature, top_p, s.top_k
+                    )
+                else:
+                    tok = jnp.argmax(lg, axis=-1)
+                tok = jnp.where(finished, cfg.stop_mel_token, tok).astype(jnp.int32)
+                codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
+                newly_finished = tok == cfg.stop_mel_token
+                finished = jnp.logical_or(finished, newly_finished)
+                penal_mask = penal_mask.at[jnp.arange(B), tok].set(True)
+
+                emb = self.model.apply(
+                    params, tok, step, method=UnifiedVoice.embed_mel_step
+                )
+                hidden, caches = self._decode_step_call(
+                    params, emb, caches, S + step,
+                    jnp.full((B,), S + step + 1, jnp.int32), cap_mask,
+                    prefix_limit=prefix_limit,
+                )
+                logits = self.model.apply(
+                    params, hidden[:, 0],
+                    method=UnifiedVoice.mel_logits_from_hidden,
+                )
+                return (step + 1, codes, logits, caches, finished, key,
+                        penal_mask)
+
+            return body_fn
 
         state = (
             jnp.asarray(0, jnp.int32),
@@ -436,7 +499,35 @@ class GPTDecoder:
             key,
             penal_mask,
         )
-        step, codes, *_ = jax.lax.while_loop(cond_fn, body_fn, state)
+        # phased decode (prefix-proportional attention reads): the loop runs
+        # in phases with a STATIC cache-read limit that grows with the valid
+        # prefix — phase k reads only the first lim_k positions via a static
+        # slice (reference analog: flash_attn_with_kvcache reads only valid
+        # blocks, accel/attention.py:129-153). Token-identical to the
+        # monolithic loop: every position >= the valid length is masked in
+        # both. Enabled when the phase grid (TARS_DECODE_PHASE) subdivides
+        # the cap; pallas layouts keep their own prefix handling.
+        G = self.PHASE
+        if (G > 0 and attn_impl in ("xla", "xla_bucketed")
+                and (-(-(S + 1) // G) * G) < cap):
+            phases = []
+            k = -(-(S + 1) // G)
+            while True:
+                lim = min(k * G, cap)
+                end = min(lim - S, max_new)
+                phases.append((lim, end))
+                if end >= max_new:
+                    break
+                k += 1
+            for lim, end in phases:
+                state = jax.lax.while_loop(
+                    make_cond(end), make_body(lim), state
+                )
+            step, codes, *_ = state
+        else:
+            step, codes, *_ = jax.lax.while_loop(
+                make_cond(max_new), make_body(None), state
+            )
 
         # length = index of first stop + 1 (capped at max_new)
         is_stop = codes == cfg.stop_mel_token
@@ -512,10 +603,14 @@ class GPTDecoder:
         )
 
         if cond_kv is not None:
-            # conds prefix from the per-speaker float cache; chunk-prefill
-            # the tail at B=1 (same numerics discipline as _generate)
+            # cached float prefix (conds-only or conds+text-prefix);
+            # chunk-prefill the remaining tail at B=1 (same numerics
+            # discipline as _generate)
+            prefix_extra = cond_kv[0].shape[3] - P
             last_hidden, ks1, vs1 = self._prefill_with_cond(
-                params, cond_kv, tail, cap_mask1, 1, cap
+                params, cond_kv,
+                tail[:, prefix_extra:] if prefix_extra else tail,
+                cap_mask1, 1, cap,
             )
         else:
             prompt = jnp.concatenate(
@@ -819,19 +914,26 @@ class GPTDecoder:
             self._insert_jit = jax.jit(f, donate_argnums=(0,))
         return self._insert_jit(tuple(caches), tuple(pieces), slot)
 
-    def step_chunk(self, params, state, chunk: int, max_new: int):
+    def step_chunk(self, params, state, chunk: int, max_new: int,
+                   prefix_limit=None):
         """Advance all slots by up to `chunk` decode steps (early exit when
         every active slot is finished). `state` is the dict produced by
-        ContinuousBatcher; per-row cache positions differ across slots."""
+        ContinuousBatcher; per-row cache positions differ across slots.
+        prefix_limit (STATIC, host-computed per chunk from the deepest slot)
+        bounds the attention read to the valid prefix."""
         if not hasattr(self, "_chunk_jit"):
             self._chunk_jit = jax.jit(
                 self._step_chunk,
-                static_argnames=("chunk", "max_new"),
+                static_argnames=("chunk", "max_new", "prefix_limit"),
                 donate_argnums=(1,),
             )
-        return self._chunk_jit(params, state, chunk=chunk, max_new=max_new)
+        return self._chunk_jit(
+            params, state, chunk=chunk, max_new=max_new,
+            prefix_limit=prefix_limit,
+        )
 
-    def _step_chunk(self, params, state, chunk: int, max_new: int):
+    def _step_chunk(self, params, state, chunk: int, max_new: int,
+                    prefix_limit=None):
         cfg = self.cfg
         model = self.model
         s = self.sampling
@@ -885,7 +987,7 @@ class GPTDecoder:
                 caches = (st["ks"], st["vs"])
             hidden, caches = self._decode_step_call(
                 params, emb, caches, pos, pos + 1,
-                st["cap_mask"],
+                st["cap_mask"], prefix_limit=prefix_limit,
             )
             logits = model.apply(
                 params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden

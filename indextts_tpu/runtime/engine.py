@@ -207,6 +207,10 @@ class IndexTTS2Engine:
         # prefix-KV reuse: conds-section KV per (speaker, emotion) key
         # (reference: accel/kv_manager.py:106-198 cross-request block reuse)
         self._cond_kv_cache: Dict[tuple, tuple] = {}
+        # text-prefix KV reuse: [conds][start][text[:m]] KV per
+        # (cond_key, m, sha256(text[:m])) at TEXT_PREFIX_GRAN granularity
+        # (reference: chained block hashes, kv_manager.py:106-115)
+        self._text_prefix_cache: Dict[tuple, tuple] = {}
         self._emo_cache: Dict[str, EmotionConditioning] = {}
         self._rng = jax.random.PRNGKey(0)
 
@@ -497,8 +501,16 @@ class IndexTTS2Engine:
         else:
             bucket = next_bucket(n, 16, 16)
             bucket = min(bucket, self.cfg.gpt.max_text_tokens)
+        # text-prefix reuse requires LEFT-aligned prompts (shared prefixes
+        # land on request-independent window slots)
+        reuse_text = (
+            rt.text_prefix_reuse
+            and cond_kv_key is not None
+            and self.decoder.supports_cond_kv
+        )
         ids, pos, valid = self.decoder.build_text_prompt_arrays(
-            np.asarray(text_ids)[None], np.asarray([n]), bucket
+            np.asarray(text_ids)[None], np.asarray([n]), bucket,
+            align="left" if reuse_text else "right",
         )
         if seed is not None:
             key = jax.random.PRNGKey(seed)
@@ -513,9 +525,13 @@ class IndexTTS2Engine:
         temp = temperature if temperature is not None else rt.temperature
         tp = top_p if top_p is not None else rt.top_p
         # per-speaker conds-prefix KV reuse (float and int8 layouts; only the
-        # Pallas blocked/transposed layouts re-prefill — supports_cond_kv)
+        # Pallas blocked/transposed layouts re-prefill — supports_cond_kv),
+        # extended to cross-request TEXT-prefix reuse when enabled
         cond_kv = None
-        if cond_kv_key is not None and self.decoder.supports_cond_kv:
+        if reuse_text:
+            cond_kv = self._lookup_text_prefix(cond_kv_key, conds, text_ids)
+        if (cond_kv is None and cond_kv_key is not None
+                and self.decoder.supports_cond_kv):
             cond_kv = self._cond_kv_cache.get(cond_kv_key)
             if cond_kv is None:
                 cond_kv = self.decoder.cond_prefill(
@@ -932,23 +948,27 @@ class IndexTTS2Engine:
         D = self.cfg.gpt.model_dim
 
         def decode_job(bucket):
+            # compile BOTH reuse variants: keyable speakers (serving) hit the
+            # cond_kv trace, raw-array speakers hit the monolithic one
             ids, pos, valid = self.decoder.build_text_prompt_arrays(
                 np.ones((1, bucket), np.int32), np.asarray([bucket]), bucket
             )
             k = jax.random.PRNGKey(0)
-            if nb > 1:
-                self.decoder.generate_beam(
-                    {"params": self.p_gpt}, conds,
-                    jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
-                    max_new=mn, num_beams=nb, do_sample=ds,
-                    key=k if ds else None, cond_kv=cond_kv,
-                )
-            else:
-                self.decoder.generate(
-                    {"params": self.p_gpt}, conds,
-                    jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
-                    k, max_new=mn, cond_kv=cond_kv,
-                )
+            variants = [None] + ([cond_kv] if cond_kv is not None else [])
+            for ckv in variants:
+                if nb > 1:
+                    self.decoder.generate_beam(
+                        {"params": self.p_gpt}, conds,
+                        jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+                        max_new=mn, num_beams=nb, do_sample=ds,
+                        key=k if ds else None, cond_kv=ckv,
+                    )
+                else:
+                    self.decoder.generate(
+                        {"params": self.p_gpt}, conds,
+                        jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+                        k, max_new=mn, cond_kv=ckv,
+                    )
 
         def latent_job(tb64, cb):
             self._latent_program(
@@ -1011,6 +1031,43 @@ class IndexTTS2Engine:
         else:
             pool.shutdown(wait=False)
         return len(jobs)
+
+    # text-prefix reuse grid: prefixes are cached at multiples of this many
+    # tokens (the reference's analog is its 256-token block size; a finer
+    # grid fits typical TTS segment lengths)
+    TEXT_PREFIX_GRAN = 32
+
+    def _lookup_text_prefix(self, cond_kv_key, conds, text_ids):
+        """Longest-prefix chained-hash lookup of a cached
+        [conds][start][text[:m]] KV; on miss, prefill and cache the longest
+        grid prefix of this text so future requests sharing it skip its
+        prefill (reference: KVCacheManager.allocate chained hashes,
+        accel/kv_manager.py:130-165)."""
+        import hashlib
+
+        g = self.TEXT_PREFIX_GRAN
+        text = np.asarray(text_ids, np.int32)
+        m_max = (len(text) // g) * g
+        if m_max < g:
+            return None
+        for m in range(m_max, g - 1, -g):
+            key = (
+                cond_kv_key, m,
+                hashlib.sha256(text[:m].tobytes()).hexdigest(),
+            )
+            hit = self._text_prefix_cache.get(key)
+            if hit is not None:
+                return hit
+        kv = self.decoder.text_prefix_prefill(
+            {"params": self.p_gpt}, conds, text[:m_max]
+        )
+        if len(self._text_prefix_cache) >= 8:  # bounded (~16 MB/entry)
+            self._text_prefix_cache.pop(next(iter(self._text_prefix_cache)))
+        self._text_prefix_cache[
+            (cond_kv_key, m_max,
+             hashlib.sha256(text[:m_max].tobytes()).hexdigest())
+        ] = kv
+        return kv
 
     def infer_text(
         self,

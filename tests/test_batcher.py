@@ -131,6 +131,49 @@ def test_batcher_kv_quant_matches_individual_greedy(rng):
         np.testing.assert_array_equal(c.codes, w)
 
 
+def test_batcher_phased_prefix_limit_matches(rng):
+    """step_chunk with the host-computed static prefix_limit (phased decode)
+    produces the same codes as unphased individual decodes."""
+    model = UnifiedVoice(CFG)
+    dec0 = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
+    dec.PHASE = 64
+    params = _params(model)
+    bucket, max_new = 8, 12
+
+    reqs = []
+    for i in range(4):
+        conds = jnp.asarray(
+            np.random.default_rng(300 + i).standard_normal((1, 34, 64)),
+            jnp.float32,
+        )
+        text = np.random.default_rng(400 + i).integers(2, 50, 3 + i)
+        reqs.append((conds, text))
+
+    want = []
+    for conds, text in reqs:
+        ids, pos, valid = dec0.build_text_prompt_arrays(
+            text[None], np.asarray([len(text)]), bucket
+        )
+        r = dec0.generate(
+            params, conds, jnp.asarray(ids), jnp.asarray(pos),
+            jnp.asarray(valid), jax.random.PRNGKey(0), max_new=max_new,
+        )
+        n = int(np.asarray(r.lengths)[0])
+        want.append(np.asarray(r.codes)[0, :n])
+
+    bat = ContinuousBatcher(
+        dec, params, n_slots=2, text_bucket=bucket, max_new=max_new,
+        chunk_steps=4,
+    )
+    assert bat._chunk_prefix_limit() is None  # nothing active yet
+    ids = [bat.submit(c, t) for c, t in reqs]
+    done = bat.run()
+    assert [c.req_id for c in done] == ids
+    for c, w in zip(done, want):
+        np.testing.assert_array_equal(c.codes, w)
+
+
 def test_batcher_rejects_oversize_text():
     model = UnifiedVoice(CFG)
     dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))

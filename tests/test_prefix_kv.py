@@ -139,6 +139,116 @@ def test_beam_cond_kv_matches_monolithic(rng, quant, do_sample):
     )
 
 
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("do_sample", [False, True])
+def test_phased_decode_matches_monolithic(rng, quant, do_sample):
+    """Phased decode (static prefix-bounded attention reads, TARS_DECODE_PHASE)
+    is token-identical to the single full-cap loop in both cache layouts:
+    every position >= the valid length is masked in both, so only the amount
+    of cache READ changes."""
+    model = UnifiedVoice(CFG, kv_quant=quant)
+    dec0 = GPTDecoder(model, CFG, SamplingConfig(do_sample=do_sample))
+    dec1 = GPTDecoder(model, CFG, SamplingConfig(do_sample=do_sample))
+    dec1.PHASE = 64
+    B, Lt, max_new = 2, 9, 24
+    params = _params(model, B)
+    conds = jnp.asarray(rng.standard_normal((B, 34, 64)), jnp.float32)
+    text = rng.integers(2, 50, (B, Lt))
+    ids, pos, valid = dec0.build_text_prompt_arrays(text, np.array([Lt, 5]), Lt)
+    key = jax.random.PRNGKey(9)
+    want = dec0.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        key, max_new=max_new,
+    )
+    got = dec1.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        key, max_new=max_new,
+    )
+    np.testing.assert_array_equal(np.asarray(got.codes), np.asarray(want.codes))
+    np.testing.assert_array_equal(
+        np.asarray(got.lengths), np.asarray(want.lengths)
+    )
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("do_sample", [False, True])
+def test_text_prefix_kv_matches_monolithic(rng, quant, do_sample):
+    """Cross-request text-prefix reuse: a cached [conds][start][text[:m]] KV
+    + chunked tail prefill produces the same tokens as the monolithic
+    left-aligned prompt (both cache layouts)."""
+    model = UnifiedVoice(CFG, kv_quant=quant)
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=do_sample))
+    Lt, m, max_new = 11, 6, 12
+    params = _params(model, 1)
+    conds = jnp.asarray(rng.standard_normal((1, 34, 64)), jnp.float32)
+    text = rng.integers(2, 50, (1, Lt))
+    ids, pos, valid = dec.build_text_prompt_arrays(
+        text, np.asarray([Lt]), Lt, align="left"
+    )
+    key = jax.random.PRNGKey(3)
+    want = dec.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        key, max_new=max_new,
+    )
+    kv = dec.text_prefix_prefill(params, conds, text[0, :m])
+    assert kv[0].shape[3] == 34 + 1 + m
+    got = dec.generate(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        key, max_new=max_new, cond_kv=kv,
+    )
+    np.testing.assert_array_equal(np.asarray(got.codes), np.asarray(want.codes))
+    np.testing.assert_array_equal(
+        np.asarray(got.lengths), np.asarray(want.lengths)
+    )
+
+
+def test_engine_text_prefix_reuse(tmp_path):
+    """Engine-level text-prefix reuse: two requests sharing a text prefix
+    populate/reuse the chained-hash prefix cache and produce the same audio
+    as with the feature disabled (greedy)."""
+    jax.config.update("jax_platforms", "cpu")
+    import dataclasses as dc
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_engine_e2e import tiny_config
+
+    from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+    from indextts_tpu.utils.audio import save_wav
+
+    base = tiny_config()
+    cfg = dc.replace(
+        base,
+        runtime=dc.replace(
+            base.runtime, text_prefix_reuse=True, do_sample=False, num_beams=1
+        ),
+    )
+    engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    engine.TEXT_PREFIX_GRAN = 4  # tiny grid for the tiny config
+    # control: same config/alignment but prefix lookup disabled (falls back
+    # to conds-only reuse) — isolates the text-prefix chunked path
+    engine0 = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    engine0._lookup_text_prefix = lambda *a: None
+
+    wav_path = str(tmp_path / "spk.wav")
+    save_wav(
+        wav_path,
+        (np.random.default_rng(3).standard_normal(16000) * 0.1).astype(np.float32),
+        16000,
+    )
+    r = np.random.default_rng(5)
+    prefix = r.integers(2, 50, 8)
+    segs = [
+        np.concatenate([prefix, r.integers(2, 50, 3)]),
+        np.concatenate([prefix, r.integers(2, 50, 5)]),
+    ]
+    out_a = [engine.infer(wav_path, [s], seed=0)["audio"] for s in segs]
+    assert len(engine._text_prefix_cache) >= 1
+    # second text shares the 8-token (two-grid) prefix -> lookup hits
+    out_b = [engine0.infer(wav_path, [s], seed=0)["audio"] for s in segs]
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_cond_kv_broadcast_from_single_speaker(rng):
     """A B=1 cached cond KV drives a B>1 batch via broadcast."""
     model = UnifiedVoice(CFG)
