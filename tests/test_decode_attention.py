@@ -469,9 +469,13 @@ def test_attn_impl_auto_dispatch(rng):
                  jnp.asarray(valid2), jax.random.PRNGKey(0), max_new=8)
     assert calls == [1]
 
-    # kv_quant decoders refuse prefix reuse (int8 layouts re-prefill) — the
-    # engine consults this before building cond_kv
-    assert not dec.supports_cond_kv
+    # kv_quant decoders support prefix reuse since r3 (float prefix cached,
+    # combined KV quantized after the tail chunk — test_prefix_kv proves
+    # bit-parity); the Pallas layouts still re-prefill
+    assert dec.supports_cond_kv
+    assert not GPTDecoder(
+        UnifiedVoice(cfg, attn_impl="pallas_q8"), cfg, sc
+    ).supports_cond_kv
 
     # float-cache auto decoder: prefix-KV calls stay on the xla path (the
     # sibling keeps its own layout)

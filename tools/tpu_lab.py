@@ -1,0 +1,151 @@
+"""Interactive TPU lab: build the full-size bench engine ONCE, then drive
+experiments from the REPL (python -i tools/tpu_lab.py). Through the axon
+tunnel, XLA compile-cache hits do not survive process restarts, so every
+fresh process pays minutes of compiles — this keeps one process (and one
+chip claim) alive across a whole measurement campaign.
+
+Helpers:
+  engine, cfg, spk, text, prompt  — bench fixtures (random weights, quant)
+  timeit(fn, n=3)                 — best-of-n wall time (fn must sync itself)
+  decode_bench(B, max_new=400)    — batched decode tok/s (same as bench.py)
+  e2e_batched(B, sync=False)      — batched e2e audio-sec/s (+ stage table)
+  single_stream(n=3)              — sequential audio-sec/s + stage totals
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILE_CACHE", "/tmp/indextts_tpu_jax_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILE_CACHE"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from indextts_tpu.config import IndexTTS2Config, RuntimeConfig
+from indextts_tpu.runtime.decode import GPTDecoder, SamplingConfig
+from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+
+print("device:", jax.devices()[0], flush=True)
+
+QUANT = os.environ.get("LAB_QUANT", "1") == "1"
+cfg = IndexTTS2Config(
+    runtime=RuntimeConfig(
+        diffusion_steps=int(os.environ.get("LAB_DIFFUSION_STEPS", "20")),
+        kv_quant=QUANT, gpt_quantize=QUANT,
+        head_quant=os.environ.get("LAB_HEAD_QUANT", "0") == "1",
+        s2mel_dtype=os.environ.get("LAB_S2MEL_DTYPE", "float32"),
+    )
+)
+t0 = time.perf_counter()
+params = random_params(cfg, seed=None)
+print(f"params initialized in {time.perf_counter() - t0:.1f}s", flush=True)
+
+engine = IndexTTS2Engine(cfg, params, gpt_dtype=jnp.bfloat16)
+engine.decoder = GPTDecoder(
+    engine.gpt, cfg.gpt,
+    SamplingConfig(do_sample=True, top_k=30, ban_stop_token=True),
+)
+
+rng = np.random.default_rng(0)
+SR = 16000
+prompt = (rng.standard_normal(5 * SR) * 0.1).astype(np.float32)
+N_TEXT = 64
+N_CODES = int(os.environ.get("LAB_MEL_TOKENS", "400"))
+text = rng.integers(2, cfg.gpt.number_text_tokens, N_TEXT)
+
+
+def timeit(fn, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def single_stream(n=3, **kw):
+    out = engine.infer((prompt, SR), [text], seed=0, max_mel_tokens=N_CODES,
+                       num_beams=1, do_sample=True, **kw)  # compile/warm
+    wall = 0.0
+    audio = 0.0
+    stages = {"gpt_gen": 0.0, "gpt_fwd": 0.0, "s2mel": 0.0, "bigvgan": 0.0}
+    for i in range(n):
+        t0 = time.perf_counter()
+        out = engine.infer((prompt, SR), [text], seed=i + 1,
+                           max_mel_tokens=N_CODES, num_beams=1,
+                           do_sample=True, **kw)
+        wall += time.perf_counter() - t0
+        audio += out["duration_sec"]
+        for s in out["stats"]:
+            stages["gpt_gen"] += s.gpt_gen_time
+            stages["gpt_fwd"] += s.gpt_forward_time
+            stages["s2mel"] += s.s2mel_time
+            stages["bigvgan"] += s.bigvgan_time
+    print(f"single-stream: {audio / wall:.2f} audio-s/s  stages/{n}runs:",
+          {k: round(v, 3) for k, v in stages.items()}, flush=True)
+    return audio / wall
+
+
+def _spk():
+    return engine.prepare_speaker(prompt, SR, cache_key="lab")
+
+
+def decode_bench(B, max_new=None, n=3):
+    max_new = max_new or N_CODES
+    spk = _spk()
+    emovec = engine._emovec_program(
+        engine.p_gpt, spk.spk_cond_emb, spk.spk_cond_emb,
+        jnp.asarray([spk.cond_len]), jnp.asarray([spk.cond_len]),
+        jnp.asarray(1.0, jnp.float32),
+    )
+    conds = engine._build_conds_program(engine.p_gpt, spk.spk_latents, emovec)
+    conds_b = jnp.repeat(conds, B, axis=0)
+    ids, pos, valid = engine.decoder.build_text_prompt_arrays(
+        np.tile(text[None], (B, 1)), np.full(B, N_TEXT), bucket=N_TEXT
+    )
+    kb = jax.random.PRNGKey(7)
+
+    def run():
+        res = engine.decoder.generate(
+            {"params": engine.p_gpt}, conds_b, jnp.asarray(ids),
+            jnp.asarray(pos), jnp.asarray(valid), kb, max_new=max_new,
+        )
+        np.asarray(res.codes)
+
+    run()  # compile
+    bt = timeit(run, n)
+    print(f"decode B={B} max_new={max_new}: {bt:.3f}s -> "
+          f"{B * max_new / bt:.0f} tok/s", flush=True)
+    return B * max_new / bt
+
+
+def e2e_batched(B=8, sync=False, n=2):
+    segs = [text for _ in range(B)]
+    if sync:
+        os.environ["TARS_STAGE_SYNC"] = "1"
+    try:
+        for rep in range(n):
+            t0 = time.perf_counter()
+            out = engine.infer((prompt, SR), segs, seed=11,
+                               max_mel_tokens=N_CODES, batched=True,
+                               num_beams=1, do_sample=True)
+            bt = time.perf_counter() - t0
+    finally:
+        os.environ.pop("TARS_STAGE_SYNC", None)
+    aps = out["duration_sec"] / bt
+    print(f"batched e2e B={B}: wall={bt:.2f}s -> {aps:.2f} audio-s/s  "
+          f"stages: {getattr(engine, '_last_batched_stats', None)}",
+          flush=True)
+    return aps
+
+
+print("lab ready: single_stream() / decode_bench(B) / e2e_batched(B, sync=)",
+      flush=True)
