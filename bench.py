@@ -68,15 +68,21 @@ def main():
 
     # fast serving path: int8 KV cache + W8A8 GPT weights (halves the two
     # dominant decode HBM streams; measured +35% decode tok/s at B=16, +37%
-    # at B=1 on v5e vs the bf16 path). BENCH_QUANT=0 restores pure bf16.
+    # at B=1 on v5e vs the bf16 path) + bf16 s2mel/vocoder compute (r3: CFM
+    # 1.48 -> 0.93 s and vocoder 0.85 -> 0.55 s at B=8 on v5e; fidelity
+    # bounded by tests/test_s2mel_parity.py::test_cfm_bf16_estimator_close
+    # and tests/test_bigvgan_parity.py::test_bigvgan_bf16_close).
+    # BENCH_QUANT=0 restores the full-precision parity configuration.
     quant = os.environ.get("BENCH_QUANT", "1") == "1"
+    fast_dt = "bfloat16" if quant else "float32"
     cfg = IndexTTS2Config(
         runtime=RuntimeConfig(
             diffusion_steps=int(os.environ.get("BENCH_DIFFUSION_STEPS", "20")),
             kv_quant=quant,
             gpt_quantize=quant,
             head_quant=os.environ.get("TARS_HEAD_QUANT", "0") == "1",
-            s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", "float32"),
+            s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", fast_dt),
+            voc_dtype=os.environ.get("TARS_VOC_DTYPE", fast_dt),
         )
     )
     t0 = time.perf_counter()
@@ -227,7 +233,7 @@ def main():
                 if stage_totals["gpt_gen"] > 0
                 else None,
                 "compile_s": round(compile_time, 1),
-                "quant": "w8a8+kv8" if quant else "bf16",
+                "quant": "w8a8+kv8+bf16s2mel+bf16voc" if quant else "fp32",
                 "batched_decode_tok_s": round(
                     batched_tok_s.get(8, next(iter(batched_tok_s.values()))), 1
                 )

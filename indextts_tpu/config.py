@@ -365,6 +365,10 @@ class RuntimeConfig:
     # is a large-step speedup candidate. Euler state, norm statistics and
     # softmax stay fp32 islands. Off until the TPU win/fidelity is measured.
     s2mel_dtype: str = "float32"
+    # BigVGAN vocoder compute dtype: "float32" | "bfloat16". bf16 halves the
+    # conv weight/activation streams and doubles MXU conv rate; measured on
+    # v5e (tools/tpu_lab.py r3 campaign) before changing the default.
+    voc_dtype: str = "float32"
     # quantize the waveform to PCM16 ON DEVICE before the host transfer
     # (reference output semantics: clamp(32767*wav).int16, infer_v2.py:866;
     # halves d2h bytes). The engine's public float API rescales by 1/32767.
@@ -399,6 +403,7 @@ class RuntimeConfig:
             gemv_impl=os.environ.get("TARS_GEMV_IMPL", "auto"),
             head_quant=_env_flag("TARS_HEAD_QUANT", False),
             s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", "float32"),
+            voc_dtype=os.environ.get("TARS_VOC_DTYPE", "float32"),
             device_pcm16=_env_flag("TARS_DEVICE_PCM16", True),
             text_prefix_reuse=_env_flag("TARS_PREFIX_REUSE", False),
         )

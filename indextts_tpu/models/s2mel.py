@@ -102,7 +102,18 @@ def apply_rotary(x: jnp.ndarray, rope: jnp.ndarray) -> jnp.ndarray:
 
 
 class DiTAttention(nn.Module):
-    """gpt_fast Attention (model.py:242-308), fused wqkv, RoPE, SDPA."""
+    """gpt_fast Attention (model.py:242-308), fused wqkv, RoPE, SDPA.
+
+    The DiT's full-sequence bidirectional attention is the CFM solve's
+    bandwidth ceiling at batch: materializing (B, H, T, T) fp32 scores for
+    the softmax costs ~0.7 GB per layer per step at B=16/T=1200 (measured
+    1.48 s of the 3.5 s batched-e2e wall on v5e). On TPU the Pallas flash
+    kernel computes the same softmax blockwise in VMEM — the score tensor
+    never touches HBM. Key-padding is expressed as kv segment ids (pad kv
+    excluded for every query; pad QUERIES attend normally so their outputs
+    stay finite — the reference's mask has the same one-sided semantics,
+    diffusion_transformer.py attn key mask). TARS_DIT_FLASH=0 forces the
+    XLA path; CPU always uses it."""
 
     cfg: DiTConfig
 
@@ -117,12 +128,65 @@ class DiTAttention(nn.Module):
         k = apply_rotary(k.reshape(B, T, H, Dh), rope)
         v = v.reshape(B, T, H, Dh)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(Dh)
-        scores = jnp.where(mask, scores, NEG_INF)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
-        ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+        ctx = self._flash(q, k, v, mask, B, T, H, Dh)
+        if ctx is None:
+            scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(Dh)
+            scores = jnp.where(mask, scores, NEG_INF)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+            ctx = jnp.einsum("bhts,bhsd->bhtd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, H * Dh)
         return nn.Dense(D, use_bias=False, name="wo")(ctx)
+
+    @staticmethod
+    def _flash(q, k, v, mask, B, T, H, Dh):
+        """Pallas TPU flash attention over the key-padding mask; returns
+        None when the fused path is unavailable (non-TPU, disabled, or tiny
+        T where the XLA softmax is fine)."""
+        import os
+
+        if (
+            os.environ.get("TARS_DIT_FLASH", "1") != "1"
+            or jax.default_backend() != "tpu"
+            or T < 256
+        ):
+            return None
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
+                SegmentIds,
+                flash_attention,
+            )
+        except ImportError:
+            return None
+        # pad the sequence to a multiple of the kernel block (pads are
+        # excluded via segment ids, so only the buffer grows)
+        blk_grid = 512 if T >= 512 else 256 if T >= 256 else 128
+        Tp = -(-T // blk_grid) * blk_grid
+        pad = Tp - T
+        kv_seg = jnp.broadcast_to(
+            mask[:, 0, 0, :].astype(jnp.int32), (B, T)
+        )
+        if pad:
+            padT = [(0, 0), (0, 0), (0, pad), (0, 0)]
+            q = jnp.pad(q, padT)
+            k = jnp.pad(k, padT)
+            v = jnp.pad(v, padT)
+            kv_seg = jnp.pad(kv_seg, [(0, 0), (0, pad)])
+        # pad kv rows get segment 0 != 1: excluded for every query; all
+        # queries (incl. pads) carry segment 1 so no row is fully masked
+        seg = SegmentIds(q=jnp.ones((B, Tp), jnp.int32), kv=kv_seg)
+        blk = blk_grid
+        bs = BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+            block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+            block_q_dq=blk,
+        )
+        ctx = flash_attention(
+            q, k, v, segment_ids=seg, causal=False,
+            sm_scale=1.0 / math.sqrt(Dh), block_sizes=bs,
+        )
+        return ctx[:, :, :T, :]
 
 
 class DiTFeedForward(nn.Module):
@@ -279,6 +343,12 @@ class DiT(nn.Module):
             )
         x_in = nn.Dense(c.hidden_dim, name="cond_x_merge_linear")(x_in)
 
+        # keep the stack in the caller's compute dtype: the fp32 time
+        # embedding otherwise promotes every AdaLN-modulated activation —
+        # and so every downstream matmul — back to fp32 (bf16 mode then
+        # never engages the MXU at bf16 rate)
+        t1 = t1.astype(x_in.dtype)
+
         valid = jnp.arange(T)[None, :] < x_lens[:, None]  # (b, T)
         attn_mask = valid[:, None, None, :]  # (b,1,1,T) broadcast over queries
         x_res = DiTTransformer(c, name="transformer")(x_in, t1[:, None], attn_mask)
@@ -290,6 +360,7 @@ class DiT(nn.Module):
         w = self.wavenet_cfg
         h = nn.Dense(w.hidden_dim, name="conv1")(x_res)
         t2 = TimestepEmbedder(w.hidden_dim, c.time_freq_dim, name="t_embedder2")(t)
+        t2 = t2.astype(h.dtype)
         mask3 = valid[..., None].astype(h.dtype)  # (b, T, 1)
         wn = WaveNet(w, name="wavenet")(h, mask3, t2[:, None])
         h = wn + nn.Dense(w.hidden_dim, name="res_projection")(x_res)

@@ -108,29 +108,104 @@ def snake_beta(
     return x + (1.0 / (beta + 1e-9)) * s * s
 
 
+def anti_alias_snake_sliced(
+    x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool = True
+) -> jnp.ndarray:
+    """Fused up2 -> snakebeta -> down2 as static slices + multiply-adds.
+
+    Same polyphase algebra (and float accumulation order) as the Pallas
+    kernel in ops/snake_pallas.py, expressed as pure elementwise XLA ops so
+    the whole activation fuses into a handful of vector loops — no depthwise
+    convolutions. The conv-based path (upsample2/downsample2) lowers each
+    12-tap depthwise conv separately and measured ~18 ms per call at
+    B=8/T*C=7M on v5e (~60 GB/s effective); this formulation removes that
+    bottleneck. x: (B, T, C)."""
+    even_taps, odd_taps, down_taps = _sliced_taps()
+    B, T, C = x.shape
+    n_up = T + 6
+    xg = jnp.pad(x, ((0, 0), (8, 8), (0, 0)), mode="edge")
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+
+    def fir(start, taps):
+        acc = taps[0] * xg[:, start : start + n_up, :]
+        for m in range(1, 6):
+            acc = acc + taps[m] * xg[:, start + m : start + m + n_up, :]
+        return acc
+
+    up_even = 2.0 * fir(2, even_taps)
+    up_odd = 2.0 * fir(3, odd_taps)
+
+    def snake(u):
+        s = jnp.sin(u * alpha[None, None, :])
+        return u + (1.0 / (beta[None, None, :] + 1e-9)) * s * s
+
+    up_even = snake(up_even)
+    up_odd = snake(up_odd)
+
+    # edge clamping of the up signal at global boundaries (see snake_pallas):
+    # up[m<0] := up[0] (even phase t=0 at row 3), up[m>2T-1] := up[2T-1]
+    # (odd phase t=T-1 at row T+2)
+    g = (jnp.arange(n_up) - 3)[None, :, None]
+    row0 = up_even[:, 3:4, :]
+    rowT = up_odd[:, T + 2 : T + 3, :]
+    up_even = jnp.where(g < 0, row0, up_even)
+    up_odd = jnp.where(g < 0, row0, up_odd)
+    up_even = jnp.where(g > T - 1, rowT, up_even)
+    up_odd = jnp.where(g > T - 1, rowT, up_odd)
+
+    acc = None
+    for j, w in enumerate(down_taps):
+        ofs = j - 5
+        phase = ofs & 1
+        per = (ofs - phase) // 2
+        src = up_odd if phase else up_even
+        term = w * src[:, per + 3 : per + 3 + T, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@functools.lru_cache(maxsize=1)
+def _sliced_taps():
+    f = _aa_filter(2, 12).astype(np.float32)
+    even = [float(f[11 - 2 * m]) for m in range(6)]
+    odd = [float(f[10 - 2 * m]) for m in range(6)]
+    down = [float(w) for w in f]
+    return even, odd, down
+
+
 def anti_alias_snake(
     x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: bool = True
 ) -> jnp.ndarray:
     """Activation1d (act.py): up2 -> snakebeta -> down2. x: (B, T, C).
 
-    On TPU the fused Pallas kernel (ops/snake_pallas.py; bit-exact vs this
-    implementation, measured 15% faster end-to-end on v5e) is the default for
-    lane-friendly channel counts; INDEXTTS_PALLAS_SNAKE=0 forces XLA."""
+    Implementation dispatch (INDEXTTS_SNAKE_IMPL, default "auto"), set from
+    the r3 v5e sweep (tools/tpu_lab.py campaign; full-vocoder forward,
+    768 mel frames):
+      * "sliced" — fused elementwise FIRs (anti_alias_snake_sliced). Wins
+        single-stream: B=1 vocoder 0.137 s vs 0.274 (conv) / 0.19 (pallas).
+      * "conv"   — depthwise-conv form (the original/parity reference).
+        Wins batched: B=8 vocoder 0.85 s fp32 / 0.55 s bf16 vs 1.11 / 0.76
+        for sliced and 1.00 for pallas.
+      * "pallas" — VMEM-fused kernel (ops/snake_pallas.py; r2's default) —
+        superseded on both shapes, kept opt-in for re-measurement.
+    "auto" = sliced when B == 1, conv otherwise. The legacy
+    INDEXTTS_PALLAS_SNAKE=0 still forces the non-pallas path."""
     import os
 
-    if os.environ.get("INDEXTTS_PALLAS_SNAKE", "1") == "1":
+    impl = os.environ.get("INDEXTTS_SNAKE_IMPL", "auto")
+    if impl == "auto":
+        impl = "sliced" if x.shape[0] == 1 else "conv"
+    if os.environ.get("INDEXTTS_PALLAS_SNAKE", "1") == "0" and impl == "pallas":
+        impl = "sliced"
+    if impl == "pallas":
         import jax as _jax
 
         C = x.shape[-1]
         if _jax.default_backend() not in ("cpu",):
-            # wide stages: channels ride the 128 lanes (zero-padded up).
-            # narrow stages (24..96ch — most of BigVGAN's samples): the
-            # transposed kernel puts TIME on the lanes and channels on the
-            # 8-wide sublanes, so lane utilization stays full where the
-            # channel-major layout would waste up to 5.3x
-            # threshold from the v5e per-stage sweep (amortized): C-major
-            # wins at ratio <= 1.11 (C=576,1152,2304), T-major from 1.33 up
-            # (C=288: 2.22 vs 2.45ms; C=144: 2.06 vs 3.02; C=24: 0.98 vs 2.88)
+            # wide stages: channels ride the 128 lanes (zero-padded up);
+            # narrow stages: time-on-lanes transposed kernel (v5e sweep)
             pad_ratio = (-(-C // 128) * 128) / C
             if pad_ratio <= 1.3:
                 from indextts_tpu.ops.snake_pallas import anti_alias_snake_pallas
@@ -139,6 +214,9 @@ def anti_alias_snake(
             from indextts_tpu.ops.snake_pallas import anti_alias_snake_pallas_t
 
             return anti_alias_snake_pallas_t(x, alpha, beta, logscale)
+        impl = "sliced"
+    if impl == "sliced":
+        return anti_alias_snake_sliced(x, alpha, beta, logscale)
     y = upsample2(x)
     y = snake_beta(y, alpha, beta, logscale)
     return downsample2(y)

@@ -80,7 +80,7 @@ class IndexTTS2Engine:
         tokenizer=None,
         precise_shapes: bool = False,
         gpt_dtype=jnp.float32,
-        voc_dtype=jnp.float32,
+        voc_dtype=None,
         cond_dtype=jnp.float32,
     ):
         """
@@ -94,6 +94,12 @@ class IndexTTS2Engine:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.precise = precise_shapes
+        if voc_dtype is None:
+            voc_dtype = (
+                jnp.bfloat16
+                if cfg.runtime.voc_dtype == "bfloat16"
+                else jnp.float32
+            )
 
         wbits = cfg.runtime.gpt_wbits if cfg.runtime.gpt_quantize else 8
         gemv_impl = cfg.runtime.gemv_impl

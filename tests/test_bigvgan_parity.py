@@ -5,6 +5,7 @@
 import sys
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -98,3 +99,47 @@ def test_bigvgan_forward_parity(models, rng):
     got = np.asarray(model.apply(params, jnp.asarray(mel)))
     assert got.shape == (1, want.shape[-1])
     np.testing.assert_allclose(got, want[:, 0], atol=5e-5, rtol=1e-3)
+
+
+def test_bigvgan_bf16_close(models, rng):
+    """bf16-compute vocoder (TARS_VOC_DTYPE=bfloat16: bf16 params +
+    activations, the r3 fast-serving mode) tracks the fp32 forward: high
+    waveform correlation, bounded relative error. fp32 stays the parity
+    default; this bounds the opt-in's fidelity cost."""
+    _, model, params = models
+    mel = rng.standard_normal((2, TINY.num_mels, 32)).astype(np.float32)
+    want = np.asarray(model.apply(params, jnp.asarray(mel)))
+    m16 = BigVGAN(TINY, dtype=jnp.bfloat16)
+    p16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32
+        else x,
+        params,
+    )
+    got = np.asarray(m16.apply(p16, jnp.asarray(mel))).astype(np.float32)
+    assert got.shape == want.shape
+    num = np.linalg.norm(got - want)
+    den = np.linalg.norm(want) + 1e-9
+    assert num / den < 0.05, num / den
+    c = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert c > 0.995, c
+
+
+def test_snake_impl_dispatch_equivalence(rng):
+    """All three anti-alias-snake implementations (sliced / conv / auto)
+    agree to float tolerance; "auto" picks sliced at B=1 and conv at B>1
+    (r3 v5e sweep)."""
+    import os
+
+    x = jnp.asarray(rng.standard_normal((2, 40, 6)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal(6) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(6) * 0.1, jnp.float32)
+    outs = {}
+    for impl in ("sliced", "conv", "auto"):
+        os.environ["INDEXTTS_SNAKE_IMPL"] = impl
+        try:
+            outs[impl] = np.asarray(snake_ops.anti_alias_snake(x, a, b, True))
+        finally:
+            os.environ.pop("INDEXTTS_SNAKE_IMPL", None)
+    np.testing.assert_allclose(outs["sliced"], outs["conv"], atol=2e-6)
+    np.testing.assert_allclose(outs["auto"], outs["conv"], atol=2e-6)
