@@ -220,6 +220,27 @@ def main():
     except Exception as e:
         log(f"batched e2e failed: {e!r}")
 
+    # the reference-default serving route: beam-multinomial num_beams=3
+    # (infer_v2.py:714-776); published so the beam path's cost is a number,
+    # not a guess (int8 KV + cond-prefix reuse apply to it too)
+    beam3_audio_s = None
+    try:
+      if os.environ.get("BENCH_BEAM", "1") != "0" and n_beams == 1:
+        for rep in range(2):  # compile then time
+            t0 = time.perf_counter()
+            out = engine.infer(
+                (prompt, sr), [text], seed=21, max_mel_tokens=n_codes,
+                num_beams=3, do_sample=True,
+            )
+            bt = time.perf_counter() - t0
+        beam3_audio_s = out["duration_sec"] / bt
+        log(
+            f"beam-3 e2e: wall={bt:.2f}s audio={out['duration_sec']:.2f}s "
+            f"-> {beam3_audio_s:.2f} audio-sec/s"
+        )
+    except Exception as e:
+        log(f"beam bench failed: {e!r}")
+
     baseline_audio_per_s = 9.25 / 169.4  # BASELINE.md row 1
     print(
         json.dumps(
@@ -246,6 +267,9 @@ def main():
                 if batched_e2e_audio_s
                 else None,
                 "batched_stages": batched_stages,
+                "beam3_audio_s": round(beam3_audio_s, 2)
+                if beam3_audio_s
+                else None,
             }
         )
     )

@@ -36,7 +36,8 @@ qparams = jax.tree_util.tree_map(
 sc = SamplingConfig(ban_stop_token=True)
 MN = 400
 
-def run(model, tag, B, blkq=None, variant=None, max_new=MN, gemv_rows=None):
+def run(model, tag, B, blkq=None, variant=None, max_new=MN, gemv_rows=None,
+        phase=None):
     if variant is not None:
         os.environ["TARS_Q8_VARIANT"] = variant
     if gemv_rows is not None:
@@ -44,6 +45,9 @@ def run(model, tag, B, blkq=None, variant=None, max_new=MN, gemv_rows=None):
     dec = GPTDecoder(model, cfg.gpt, sc)
     if blkq is not None:
         dec.BLKQ = blkq
+    if phase is not None:
+        # phased static-prefix attention reads (decode.py TARS_DECODE_PHASE)
+        dec.PHASE = phase
     rng = np.random.default_rng(0)
     conds = jnp.zeros((B, 34, cfg.gpt.model_dim), jnp.bfloat16)
     text = rng.integers(2, 12000, (B, 64))
@@ -115,4 +119,12 @@ run(m_kvq_b, "w8+kv8 xla-attn (default)", 16)
 m_q8gr3 = UnifiedVoice(cfg.gpt, dtype=jnp.bfloat16, quantize_gpt=True,
                        attn_impl="pallas_q8", gemv_impl="xla")
 run(m_q8gr3, "w8 pq8-attn GRID blk256", 16, blkq=256, variant="grid")
+
+# ---- phased prefix-bounded reads (TARS_DECODE_PHASE) ---------------------
+# r3 verdict on v5e at cap=S+400: LOSES to the full-cap read at every B
+# (B=8 3655 vs 3826 tok/s, B=16 3590 vs 4380) — the sequential while_loop
+# phases cost more than the saved KV stream at this cap. Kept opt-in; rerun
+# at serving caps (S+1500) on future hardware.
+run(m_kvq_b, "w8+kv8 xla PHASED256", 8, phase=256)
+run(m_kvq_b, "w8+kv8 xla PHASED256", 16, phase=256)
 print("done", flush=True)
