@@ -206,14 +206,17 @@ def main():
         # number above stays fully async)
         os.environ["TARS_STAGE_SYNC"] = "1"
         try:
-            engine.infer(
-                (prompt, sr), segs, seed=11, max_mel_tokens=n_codes,
-                batched=True, num_beams=1, do_sample=True,
-            )
-            batched_stages = {
-                k: round(v, 3)
-                for k, v in getattr(engine, "_last_batched_stats", {}).items()
-            }
+            # two passes, keep the second: the first sync'd pass can absorb
+            # one-off tunnel dispatch hiccups (~0.4 s observed)
+            for _ in range(2):
+                engine.infer(
+                    (prompt, sr), segs, seed=11, max_mel_tokens=n_codes,
+                    batched=True, num_beams=1, do_sample=True,
+                )
+                batched_stages = {
+                    k: round(v, 3)
+                    for k, v in getattr(engine, "_last_batched_stats", {}).items()
+                }
             log(f"batched e2e stages (sync'd): {batched_stages}")
         finally:
             os.environ.pop("TARS_STAGE_SYNC", None)

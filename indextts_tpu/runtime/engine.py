@@ -134,6 +134,17 @@ class IndexTTS2Engine:
         )
         self.s2mel = S2Mel(cfg.s2mel)
         self.bigvgan = BigVGAN(cfg.vocoder, dtype=voc_dtype)
+        # B=1 vocoder optimum is fp32 (+ sliced-FIR snake): bf16 measured
+        # SLOWER single-stream on v5e (0.19 vs 0.137 s; bf16 pays cast
+        # overhead without bandwidth wins at B=1) while winning batched
+        # (0.55 vs 0.85 s at B=8). Keep an fp32 sibling for the sequential
+        # path when the batch mode runs bf16 (~110 MB extra params).
+        self._voc_dual = voc_dtype != jnp.float32
+        self.bigvgan_f32 = (
+            BigVGAN(cfg.vocoder, dtype=jnp.float32)
+            if self._voc_dual
+            else self.bigvgan
+        )
         self.repcodec = RepCodec(cfg.semantic_codec)
         self.campplus = CAMPPlus(cfg.campplus)
         self.w2vbert = W2VBertEncoder(cfg.w2vbert)
@@ -181,6 +192,11 @@ class IndexTTS2Engine:
         )
         self.p_s2mel = put_as(params["s2mel"], self._s2mel_dt)
         self.p_bigvgan = put_as(params["bigvgan"], voc_dtype)
+        self.p_bigvgan_f32 = (
+            put_as(params["bigvgan"], jnp.float32)
+            if self._voc_dual
+            else self.p_bigvgan
+        )
         self.p_repcodec = put(params["repcodec"])
         self.p_campplus = put(params["campplus"])
         self.p_w2vbert = put_as(params["w2vbert"], cond_dtype)
@@ -231,6 +247,12 @@ class IndexTTS2Engine:
         )
         self._vocoder_program = jax.jit(self._vocode)
         self._vocoder_pcm16_program = jax.jit(self._vocode_pcm16)
+        if self._voc_dual:
+            self._vocoder_f32_program = jax.jit(self._vocode_f32)
+            self._vocoder_pcm16_f32_program = jax.jit(self._vocode_pcm16_f32)
+        else:
+            self._vocoder_f32_program = self._vocoder_program
+            self._vocoder_pcm16_f32_program = self._vocoder_pcm16_program
         self._quantize_program = jax.jit(
             lambda p, x: self.repcodec.apply({"params": p}, x, method=RepCodec.quantize)
         )
@@ -355,6 +377,13 @@ class IndexTTS2Engine:
         Halves the device->host waveform transfer — significant under the
         axon tunnel's ~20 MB/s d2h — and removes the host-side requantize."""
         wav = self.bigvgan.apply({"params": p_bigvgan}, mel)
+        return jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
+
+    def _vocode_f32(self, p_bigvgan, mel):
+        return self.bigvgan_f32.apply({"params": p_bigvgan}, mel)
+
+    def _vocode_pcm16_f32(self, p_bigvgan, mel):
+        wav = self.bigvgan_f32.apply({"params": p_bigvgan}, mel)
         return jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
 
     # ------------------------------------------------------------------
@@ -695,11 +724,13 @@ class IndexTTS2Engine:
                     ((0, 0), (0, 0), (0, pad_frames)),
                     constant_values=float(np.log(1e-5)),
                 )
+        # B=1 always vocodes fp32 (the measured single-stream optimum; the
+        # bf16 copy serves the batched path only)
         if self.cfg.runtime.device_pcm16:
-            wav = self._vocoder_pcm16_program(self.p_bigvgan, mel_out)
+            wav = self._vocoder_pcm16_f32_program(self.p_bigvgan_f32, mel_out)
             wav = np.asarray(wav)[0].astype(np.float32) / 32767.0
         else:
-            wav = self._vocoder_program(self.p_bigvgan, mel_out)
+            wav = self._vocoder_f32_program(self.p_bigvgan_f32, mel_out)
             wav = np.asarray(wav)[0]
         wav = wav[: target_len_exact * self.cfg.vocoder.total_upsample]
         t_voc = time.perf_counter() - t3
@@ -1000,14 +1031,15 @@ class IndexTTS2Engine:
             )
 
         def vocoder_job(tb):
+            # the sequential serving path vocodes B=1 through the fp32 program
             mel = jnp.full(
                 (1, self.cfg.s2mel.dit.in_channels, tb),
                 float(np.log(1e-5)), jnp.float32,
             )
             if rt.device_pcm16:
-                self._vocoder_pcm16_program(self.p_bigvgan, mel)
+                self._vocoder_pcm16_f32_program(self.p_bigvgan_f32, mel)
             else:
-                self._vocoder_program(self.p_bigvgan, mel)
+                self._vocoder_f32_program(self.p_bigvgan_f32, mel)
 
         jobs = (
             [functools.partial(decode_job, b) for b in text_buckets]
