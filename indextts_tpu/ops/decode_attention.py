@@ -92,8 +92,8 @@ def ragged_decode_attention(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),  # q
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k cache stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # k cache stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # v cache stays in HBM
         ],
         out_specs=pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
         scratch_shapes=[
@@ -236,8 +236,8 @@ def _ragged_decode_attention_t(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
         scratch_shapes=[
@@ -373,8 +373,8 @@ def _ragged_decode_attention_blocked(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
         scratch_shapes=[
@@ -553,10 +553,10 @@ def _ragged_decode_attention_blocked_q8(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((None, H, Dh), lambda b, v: (b, 0, 0)),
         scratch_shapes=[

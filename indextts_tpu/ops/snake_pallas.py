@@ -262,7 +262,7 @@ def anti_alias_snake_pallas_t(
         kern,
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # manual DMA
             pl.BlockSpec((C8, 1), lambda b, i: (0, 0)),
             pl.BlockSpec((C8, 1), lambda b, i: (0, 0)),
         ],
@@ -320,7 +320,7 @@ def anti_alias_snake_pallas(
         kern,
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM; manual DMA
             pl.BlockSpec((1, C), lambda b, i: (0, 0)),
             pl.BlockSpec((1, C), lambda b, i: (0, 0)),
         ],

@@ -44,9 +44,11 @@ def client_worker(port, cid, n_requests, results, texts, repeat_prefix):
         # repeated-prefix workload: every request shares the template head,
         # unique tail + seed (exercises text-prefix KV reuse when enabled
         # and dodges the sha256 response cache)
-        text = texts[(cid + r) % len(texts)]
+        # keep requests within one segment of the continuous batcher's
+        # 120-token bucket (no-tokenizer mode maps bytes->tokens 1:1)
+        text = texts[(cid + r) % len(texts)][:110]
         if repeat_prefix:
-            text = texts[0][:180] + f" variant {cid}-{r}"
+            text = texts[0][:90] + f" v {cid}-{r}"
         payload = json.dumps({"text": text, "seed": 1000 * cid + r}).encode()
         t0 = time.perf_counter()
         ttfb = None
