@@ -188,8 +188,14 @@ class GracefulShutdown:
         self._callbacks.append(cb)
 
     def install(self):
-        for sig in (signal.SIGINT, signal.SIGTERM):
-            self._orig[sig] = signal.signal(sig, self._handler)
+        try:
+            for sig in (signal.SIGINT, signal.SIGTERM):
+                self._orig[sig] = signal.signal(sig, self._handler)
+        except ValueError:
+            # signal handlers can only be set on the main thread; embedded
+            # servers (benchmarks, tests) run serve.main on a worker thread
+            # and handle shutdown themselves
+            get_logger().info("GracefulShutdown: not on main thread; skipped")
         return self
 
     def _handler(self, signum, frame):
