@@ -1217,6 +1217,53 @@ class IndexTTS2Engine:
             if interval_silence > 0:
                 yield sil
 
+    def infer_generator_continuous(
+        self,
+        service,
+        spk_audio: Union[str, Tuple[np.ndarray, int]],
+        text_ids_segments: List[np.ndarray],
+        emo_audio: Optional[Union[str, Tuple[np.ndarray, int]]] = None,
+        emo_alpha: float = 1.0,
+        emo_vector: Optional[Sequence[float]] = None,
+        interval_silence: int = 200,
+        seed: Optional[int] = None,
+        timeout: float = 600.0,
+    ) -> Generator[np.ndarray, None, None]:
+        """Streaming synthesis through a shared ContinuousService: all
+        segments are submitted up front (they batch with other requests'
+        segments in the shared AR loop) and yielded in order as they
+        complete — streaming TTFB = first segment completion, not the whole
+        request (serve.py /tts/stream under TARS_CONTINUOUS_SLOTS>1)."""
+        if isinstance(spk_audio, str):
+            audio, sr = audio_utils.load_wav(spk_audio)
+            spk = self.prepare_speaker(audio, sr, cache_key=spk_audio)
+        else:
+            spk = self.prepare_speaker(*spk_audio)
+        if emo_vector is not None:
+            emo_audio = None
+        if emo_audio is None:
+            emo = EmotionConditioning(spk.spk_cond_emb, spk.cond_len)
+            emo_alpha = 1.0
+        elif isinstance(emo_audio, str):
+            audio, sr = audio_utils.load_wav(emo_audio)
+            emo = self.prepare_emotion(audio, sr, cache_key=emo_audio)
+        else:
+            emo = self.prepare_emotion(*emo_audio)
+        futs = [
+            service.submit(
+                spk, emo, np.asarray(seg), emo_alpha=emo_alpha,
+                emo_vector=emo_vector,
+                seed=None if seed is None else seed + i,
+            )
+            for i, seg in enumerate(text_ids_segments)
+        ]
+        sr_out = self.cfg.runtime.sampling_rate
+        sil = np.zeros(int(sr_out * interval_silence / 1000.0), np.float32)
+        for f in futs:
+            yield f.result(timeout=timeout).wav
+            if interval_silence > 0:
+                yield sil
+
     def infer(
         self,
         spk_audio: Union[str, Tuple[np.ndarray, int]],

@@ -131,6 +131,15 @@ def main(argv=None):
             for s in segs
         ]
 
+    def _fallback_segments(text):
+        """No tokenizer (random-weights smoke mode): bytes -> ids, split to
+        the same per-segment cap the real tokenizer honors."""
+        ids = np.frombuffer(text.encode()[:200], dtype=np.uint8).astype(np.int32)
+        ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
+        cap = max(1, min(engine.cfg.runtime.max_text_tokens_per_segment,
+                         engine.cfg.gpt.max_text_tokens))
+        return [ids[i:i + cap] for i in range(0, max(len(ids), 1), cap)]
+
     def synth(text="", spk_audio=None, emo_audio=None, emo_alpha=1.0,
               emo_vector=None, seed=None, use_emo_text=False, emo_text=None,
               **kw):
@@ -150,14 +159,13 @@ def main(argv=None):
                 use_emo_text=use_emo_text, emo_text=emo_text,
             )
         emo_vector = _emo_kwargs(text, use_emo_text, emo_text, emo_vector)
-        ids = np.frombuffer(text.encode()[:200], dtype=np.uint8).astype(np.int32)
-        ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
+        seg_ids = _fallback_segments(text)
         if service is not None:
             return engine.infer_continuous(
-                service, spk, [ids], emo_audio=emo_audio,
+                service, spk, seg_ids, emo_audio=emo_audio,
                 emo_alpha=emo_alpha, emo_vector=emo_vector, seed=seed,
             )
-        return engine.infer(spk, [ids], emo_audio=emo_audio,
+        return engine.infer(spk, seg_ids, emo_audio=emo_audio,
                             emo_alpha=emo_alpha, emo_vector=emo_vector, seed=seed)
 
     def synth_stream(text="", spk_audio=None, use_emo_text=False,
@@ -178,12 +186,19 @@ def main(argv=None):
             seg_ids = [np.asarray(engine.tokenizer.convert_tokens_to_ids(s), np.int32)
                        for s in segs]
         else:
-            ids = np.frombuffer(text.encode()[:200], dtype=np.uint8).astype(np.int32)
-            seg_ids = [ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2]
-        yield from engine.infer_generator(spk, seg_ids, **{
+            seg_ids = _fallback_segments(text)
+        skw = {
             k: v for k, v in kw.items()
             if k in ("emo_audio", "emo_alpha", "emo_vector", "seed")
-        })
+        }
+        if service is not None:
+            # streaming + continuous batching: segments of concurrent
+            # streams batch in the shared AR loop, chunks yield in order
+            yield from engine.infer_generator_continuous(
+                service, spk, seg_ids, **skw
+            )
+        else:
+            yield from engine.infer_generator(spk, seg_ids, **skw)
 
     if settings.warmup and default_prompt:
         print_stage("Warmup synthesis", "progress")

@@ -234,6 +234,39 @@ def test_continuous_service_end_to_end(kv_quant):
         np.testing.assert_array_equal(g.wav, w.wav)
 
 
+def test_infer_generator_continuous_matches_sequential():
+    """Streaming through the shared service (infer_generator_continuous)
+    yields the same per-segment waveforms as the sequential generator."""
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).parent))
+    import dataclasses as dc
+
+    from test_engine_e2e import tiny_config
+
+    from indextts_tpu.runtime.batcher import ContinuousService
+    from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+
+    cfg = tiny_config()
+    cfg = dc.replace(cfg, runtime=dc.replace(cfg.runtime, do_sample=False,
+                                             num_beams=1, max_mel_tokens=24))
+    engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    wav = ((np.random.default_rng(3).standard_normal(16000) * 0.1)
+           .astype(np.float32), 16000)
+    segs = [np.random.default_rng(70 + i).integers(2, 50, 5 + i)
+            for i in range(2)]
+    want = list(engine.infer_generator(wav, segs, seed=5))
+
+    svc = ContinuousService(engine, n_slots=2, text_bucket=16, max_new=24,
+                            chunk_steps=4)
+    try:
+        got = list(engine.infer_generator_continuous(svc, wav, segs, seed=5))
+    finally:
+        svc.shutdown()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_engine_infer_continuous_concurrent_requests():
     """engine.infer_continuous: two concurrent multi-segment requests through
     one shared service produce the same audio as sequential engine.infer."""
