@@ -147,5 +147,49 @@ def e2e_batched(B=8, sync=False, n=2):
     return aps
 
 
-print("lab ready: single_stream() / decode_bench(B) / e2e_batched(B, sync=)",
-      flush=True)
+def s2mel_bench(B=8, n_codes=None, n=3):
+    """Isolate the batched CFM stage: latent+codes fixtures at bench shapes,
+    time just the jitted s2mel program (regulator + 20-step Euler DiT solve)."""
+    n_codes = n_codes or N_CODES
+    spk = _spk()
+    from indextts_tpu.utils.buckets import next_bucket
+
+    code_bucket = next_bucket(n_codes, 64, 64)
+    codes_arr = np.full((B, code_bucket), cfg.gpt.stop_mel_token, np.int32)
+    codes_arr[:, :n_codes] = rng.integers(0, 8000, (B, n_codes))
+    code_lens = np.full(B, n_codes)
+    latent = jnp.zeros((B, code_bucket, cfg.gpt.model_dim), jnp.float32)
+    target_exact = (code_lens * 1.72).astype(np.int64)
+    target_len = next_bucket(int(target_exact.max()), 128, 128)
+    total_len = spk.ref_mel_len + target_len
+    noise = jax.random.normal(
+        jax.random.PRNGKey(5),
+        (B, cfg.s2mel.dit.in_channels, total_len), jnp.float32)
+
+    def run():
+        vc = engine._s2mel_program(
+            engine.p_s2mel, engine.p_repcodec, latent,
+            jnp.asarray(codes_arr), jnp.asarray(code_lens),
+            spk.prompt_condition, spk.ref_mel, jnp.asarray(spk.ref_mel_len),
+            spk.style, noise, target_len=target_len, total_len=total_len,
+        )
+        np.asarray(vc[0, 0, 0])
+
+    run()  # compile
+    bt = timeit(run, n)
+    print(f"s2mel B={B} T={total_len}: {bt:.3f}s", flush=True)
+    return bt
+
+
+def profile_trace(fn, outdir="/tmp/jtrace", warm=True):
+    """jax.profiler trace around fn(); inspect with
+    python -m tensorboard.main --logdir <outdir> or xprof tooling."""
+    if warm:
+        fn()
+    with jax.profiler.trace(outdir):
+        fn()
+    print("trace written to", outdir, flush=True)
+
+
+print("lab ready: single_stream() / decode_bench(B) / e2e_batched(B, sync=) /"
+      " s2mel_bench(B) / profile_trace(fn)", flush=True)
