@@ -48,7 +48,9 @@ def client_worker(port, cid, n_requests, results, texts, repeat_prefix):
         # 120-token bucket (no-tokenizer mode maps bytes->tokens 1:1)
         text = texts[(cid + r) % len(texts)][:110]
         if repeat_prefix:
-            text = texts[0][:90] + f" v {cid}-{r}"
+            # fixed-width unique tail: every request byte-tokenizes to the
+            # same length, so the warm pass covers the timed shapes exactly
+            text = texts[0][:90] + f" v {cid % 100:02d}-{r % 100:02d}"
         payload = json.dumps({"text": text, "seed": 1000 * cid + r}).encode()
         t0 = time.perf_counter()
         ttfb = None

@@ -36,12 +36,14 @@ from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
 print("device:", jax.devices()[0], flush=True)
 
 QUANT = os.environ.get("LAB_QUANT", "1") == "1"
+FAST_DT = "bfloat16" if QUANT else "float32"  # match bench.py's fast bundle
 cfg = IndexTTS2Config(
     runtime=RuntimeConfig(
         diffusion_steps=int(os.environ.get("LAB_DIFFUSION_STEPS", "20")),
         kv_quant=QUANT, gpt_quantize=QUANT,
         head_quant=os.environ.get("LAB_HEAD_QUANT", "0") == "1",
-        s2mel_dtype=os.environ.get("LAB_S2MEL_DTYPE", "float32"),
+        s2mel_dtype=os.environ.get("LAB_S2MEL_DTYPE", FAST_DT),
+        voc_dtype=os.environ.get("LAB_VOC_DTYPE", FAST_DT),
     )
 )
 t0 = time.perf_counter()
@@ -179,6 +181,64 @@ def s2mel_bench(B=8, n_codes=None, n=3):
     bt = timeit(run, n)
     print(f"s2mel B={B} T={total_len}: {bt:.3f}s", flush=True)
     return bt
+
+
+def dit_bench(B=8, T=1152, n=5):
+    """One DiT velocity forward at CFM-solve shapes (2B CFG stack), plus the
+    isolated WaveNet final-stack and the transformer-only cost (by
+    subtracting a WaveNet-only run is noisy; we time submodules directly)."""
+    import functools
+    from indextts_tpu.models.s2mel import S2Mel, WaveNet, DiTTransformer
+
+    dt = engine._s2mel_dt
+    B2 = 2 * B
+    x = jnp.zeros((B2, 80, T), jnp.float32)
+    prompt_x = jnp.zeros((B2, 80, T), dt)
+    x_lens = jnp.full((B2,), T - 64, jnp.int32)
+    t = jnp.full((B2,), 0.5, jnp.float32)
+    style = jnp.zeros((B2, 192), dt)
+    mu = jnp.zeros((B2, T, 512), dt)
+
+    vel = jax.jit(lambda p, xx: engine.s2mel.apply(
+        p, xx.astype(dt), prompt_x, x_lens, t, style, mu,
+        method=S2Mel.velocity))
+    p = {"params": engine.p_s2mel}
+
+    def run():
+        np.asarray(vel(p, x)[0, 0, 0])
+
+    run()
+    bt = timeit(run, n)
+    print(f"velocity fwd 2B={B2} T={T}: {bt*1000:.1f} ms "
+          f"(x20 steps = {20*bt:.2f}s)", flush=True)
+
+    # isolated WaveNet stack at the same shapes
+    wn_mod = WaveNet(cfg.s2mel.wavenet)
+    h = jnp.zeros((B2, T, 512), dt)
+    mask3 = jnp.ones((B2, T, 1), dt)
+    g = jnp.zeros((B2, 1, 512), dt)
+    wp = wn_mod.init(jax.random.PRNGKey(0), h, mask3, g)
+    wn_fn = jax.jit(lambda pp, hh: wn_mod.apply(pp, hh, mask3, g))
+
+    def run_wn():
+        np.asarray(wn_fn(wp, h)[0, 0, 0])
+
+    run_wn()
+    wt = timeit(run_wn, n)
+    print(f"wavenet-only 2B={B2} T={T}: {wt*1000:.1f} ms "
+          f"(x20 = {20*wt:.2f}s)", flush=True)
+    return bt, wt
+
+
+def cfm_flash_ab(B=8, n=3):
+    """A/B the DiT flash-attention path inside the full batched s2mel stage."""
+    for flash in ("1", "0"):
+        os.environ["TARS_DIT_FLASH"] = flash
+        engine._s2mel_program = jax.jit(
+            engine._s2mel_mel, static_argnames=("target_len", "total_len"))
+        bt = s2mel_bench(B, n=n)
+        print(f"  TARS_DIT_FLASH={flash}: {bt:.3f}s", flush=True)
+    os.environ.pop("TARS_DIT_FLASH", None)
 
 
 def profile_trace(fn, outdir="/tmp/jtrace", warm=True):
