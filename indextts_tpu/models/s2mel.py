@@ -319,7 +319,7 @@ class DiT(nn.Module):
     wavenet_cfg: WaveNetConfig
 
     @nn.compact
-    def __call__(self, x, prompt_x, x_lens, t, style, cond):
+    def __call__(self, x, prompt_x, x_lens, t, style, cond, drop_cond=None):
         """
         x:        (B, mel=80, T) noisy mel
         prompt_x: (B, 80, T) reference mel (zeros beyond prompt)
@@ -327,6 +327,13 @@ class DiT(nn.Module):
         t:        (B,) diffusion time
         style:    (B, 192)
         cond:     (B, T, content_dim=512)
+        drop_cond: optional (B,) bool — CFG class dropout for training: zeroes
+            every conditioning column of the merged input past in_channels
+            (prompt, projected cond incl. its bias, style), exactly the
+            reference's `x_in[..., in_channels:] * 0`
+            (diffusion_transformer.py:202-226). Per-sample here (the reference
+            drops the whole batch on one coin flip — per-sample is the
+            standard CFG-training improvement and a strict superset).
         Returns (B, 80, T) velocity.
         """
         c = self.cfg
@@ -339,6 +346,12 @@ class DiT(nn.Module):
         if c.style_condition and not c.style_as_token:
             x_in = jnp.concatenate(
                 [x_in, jnp.broadcast_to(style[:, None], (B, T, style.shape[-1]))],
+                axis=-1,
+            )
+        if drop_cond is not None:
+            keep = 1.0 - drop_cond.astype(x_in.dtype)[:, None, None]
+            x_in = jnp.concatenate(
+                [x_in[..., : c.in_channels], x_in[..., c.in_channels :] * keep],
                 axis=-1,
             )
         x_in = nn.Dense(c.hidden_dim, name="cond_x_merge_linear")(x_in)
@@ -461,5 +474,5 @@ class S2Mel(nn.Module):
     def project_gpt_latent(self, x):
         return self.gpt_layer(x)
 
-    def velocity(self, x, prompt_x, x_lens, t, style, cond):
-        return self.cfm_estimator(x, prompt_x, x_lens, t, style, cond)
+    def velocity(self, x, prompt_x, x_lens, t, style, cond, drop_cond=None):
+        return self.cfm_estimator(x, prompt_x, x_lens, t, style, cond, drop_cond)

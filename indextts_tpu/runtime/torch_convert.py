@@ -338,14 +338,24 @@ def convert_gpt_layer(sd: SD) -> dict:
     }
 
 
-def convert_s2mel(net: Dict[str, SD], depth: int = 13, wn_layers: int = 8, n_ratios: int = 4) -> dict:
+def convert_s2mel(
+    net: Dict[str, SD],
+    depth: int = 13,
+    wn_layers: int = 8,
+    n_ratios: int = 4,
+    cfm_only: bool = False,
+) -> dict:
     """net: {'cfm': sd, 'length_regulator': sd, 'gpt_layer': sd} (each with
-    DDP 'module.' prefixes already stripped)."""
-    return {
-        "cfm_estimator": convert_dit(net["cfm"], "estimator", depth, wn_layers),
-        "length_regulator": convert_length_regulator(net["length_regulator"], n_ratios),
-        "gpt_layer": convert_gpt_layer(net["gpt_layer"]),
-    }
+    DDP 'module.' prefixes already stripped). cfm_only: convert just the
+    estimator (e.g. for CFM training, where the regulator/gpt_layer state
+    may not exist yet)."""
+    out = {"cfm_estimator": convert_dit(net["cfm"], "estimator", depth, wn_layers)}
+    if not cfm_only:
+        out["length_regulator"] = convert_length_regulator(
+            net["length_regulator"], n_ratios
+        )
+        out["gpt_layer"] = convert_gpt_layer(net["gpt_layer"])
+    return out
 
 
 # ---------------------------------------------------------------------------
