@@ -332,8 +332,11 @@ class RuntimeConfig:
     # re-measurement on future hardware.
     attn_impl: str = "auto"
     # int8 KV cache in the decode loop (per-vector absmax; halves the
-    # dominant decode HBM stream). Slight logits perturbation — sampling
-    # path only; beam/continuous-batching paths keep the float cache.
+    # dominant decode HBM stream). Slight logits perturbation. Composes with
+    # every serving route: sampling, beam (runtime/decode.py int8 beam path),
+    # conds-/text-prefix reuse (quantize-after-tail), and the continuous
+    # batcher (quantize-on-insert, runtime/batcher.py) — no float-sibling
+    # fallback remains.
     kv_quant: bool = False
     # W8A8 int8 GPT weights on the MXU (models/gpt2.py Conv1D quantize=True;
     # params converted through torch_convert.quantize_gpt_tree). Halves the
