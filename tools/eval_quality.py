@@ -1,0 +1,379 @@
+#!/usr/bin/env python
+"""Quality-evaluation harness: zero-shot WER, speaker similarity, emotion fidelity.
+
+The reference publishes quality claims (SOTA zero-shot WER / speaker
+similarity / emotion fidelity, /root/reference/README.md:59 citing
+arXiv:2506.21619) but ships no harness to measure them. This tool is that
+harness for the TPU framework:
+
+  - **WER** (zero-shot intelligibility): synthesize each case, transcribe
+    with a pluggable ASR backend, score mixed zh/en token error rate
+    (CJK chars as tokens, latin words as tokens — standard mixed WER/CER).
+    Backends: ``mock`` (echoes the reference text, optionally corrupted —
+    proves the harness without an ASR model), ``hf:<model-path>`` (any local
+    transformers ASR pipeline, e.g. whisper), ``cmd:<template>`` (external
+    command with a ``{wav}`` placeholder printing the transcript).
+  - **Speaker similarity**: cosine between the CAMPPlus style embedding of
+    the prompt audio and of the synthesized audio — the same embedding the
+    framework already computes for DiT style conditioning
+    (reference analog: campplus/DTDNN.py via infer_v2.py:642-647).
+  - **Emotion fidelity**: cosine between the GPT emotion-perceiver vector
+    (UnifiedVoice.get_emovec) extracted from the synthesized audio and the
+    target emotion vector — the emo reference audio's emovec, the
+    emotion-matrix blend for emo_vector cases (infer_v2.py:668-679), or the
+    speaker prompt's emovec when no emotion control is requested.
+
+Case format follows the reference's examples/cases.jsonl
+(/root/reference/examples/cases.jsonl:1-12): fields ``id``, ``text``, and
+optionally ``spk_audio``, ``emo_audio``, ``emo_vector``, ``emo_alpha``.
+
+Output: one JSON artifact (default EVAL.json) with per-case rows and
+aggregates. Without real checkpoints (``--model-dir``), the engine runs
+random weights and the numbers exercise the harness, not the model — the
+artifact records which.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+import tempfile
+import time
+import unicodedata
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WER scoring (mixed zh/en)
+# ---------------------------------------------------------------------------
+
+_CJK = r"㐀-䶿一-鿿豈-﫿"
+_TOKEN_RE = re.compile(rf"[{_CJK}]|[a-z0-9']+")
+
+
+def tokenize_for_wer(text: str) -> List[str]:
+    """Mixed-script scoring units: each CJK char is one token (CER
+    semantics), each lowercase latin/digit run is one token (WER
+    semantics). Punctuation and whitespace are dropped; width/case are
+    normalized so TN artifacts don't count as errors."""
+    text = unicodedata.normalize("NFKC", text).lower()
+    return _TOKEN_RE.findall(text)
+
+
+def edit_distance(ref: Sequence[str], hyp: Sequence[str]) -> int:
+    """Levenshtein distance over token sequences (S + D + I)."""
+    if not ref:
+        return len(hyp)
+    if not hyp:
+        return len(ref)
+    prev = list(range(len(hyp) + 1))
+    for i, r in enumerate(ref, 1):
+        cur = [i] + [0] * len(hyp)
+        for j, h in enumerate(hyp, 1):
+            cur[j] = min(
+                prev[j] + 1,            # deletion
+                cur[j - 1] + 1,         # insertion
+                prev[j - 1] + (r != h), # substitution / match
+            )
+        prev = cur
+    return prev[-1]
+
+
+def wer_counts(ref_text: str, hyp_text: str) -> Tuple[int, int]:
+    """(edit errors, reference token count) — aggregate WER over a corpus is
+    sum(errors)/sum(ref_tokens), not a mean of per-case rates."""
+    ref = tokenize_for_wer(ref_text)
+    hyp = tokenize_for_wer(hyp_text)
+    return edit_distance(ref, hyp), len(ref)
+
+
+# ---------------------------------------------------------------------------
+# ASR backends
+# ---------------------------------------------------------------------------
+
+
+class MockASR:
+    """Echoes the reference text, optionally corrupted (token drop /
+    substitution at ``drop`` probability). Proves the harness plumbing and
+    the scoring math without an ASR checkpoint; WER is 0 at drop=0 and
+    >0 otherwise, by construction."""
+
+    name = "mock"
+    needs_ref = True
+
+    def __init__(self, drop: float = 0.0, seed: int = 0):
+        self.drop = float(drop)
+        self.rng = np.random.default_rng(seed)
+
+    def transcribe(self, wav: np.ndarray, sr: int, ref_text: str = "") -> str:
+        if self.drop <= 0:
+            return ref_text
+        toks = tokenize_for_wer(ref_text)
+        kept = [t for t in toks if self.rng.random() >= self.drop]
+        return " ".join(kept)
+
+
+class HFASR:
+    """transformers automatic-speech-recognition pipeline over a *local*
+    model path (zero-egress environments can't download)."""
+
+    needs_ref = False
+
+    def __init__(self, model_path: str):
+        from transformers import pipeline  # gated import
+
+        self.name = f"hf:{model_path}"
+        self.pipe = pipeline("automatic-speech-recognition", model=model_path)
+
+    def transcribe(self, wav: np.ndarray, sr: int, ref_text: str = "") -> str:
+        out = self.pipe({"array": np.asarray(wav, np.float32), "sampling_rate": sr})
+        return out["text"] if isinstance(out, dict) else str(out)
+
+
+class CmdASR:
+    """External ASR: shell template with a ``{wav}`` placeholder; the
+    command must print the transcript on stdout."""
+
+    needs_ref = False
+
+    def __init__(self, template: str):
+        self.name = f"cmd:{template}"
+        self.template = template
+
+    def transcribe(self, wav: np.ndarray, sr: int, ref_text: str = "") -> str:
+        from indextts_tpu.utils.audio import save_wav
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            save_wav(f.name, np.asarray(wav, np.float32), sr)
+            out = subprocess.run(
+                self.template.format(wav=f.name),
+                shell=True, capture_output=True, text=True, timeout=600,
+            )
+        return out.stdout.strip()
+
+
+def make_asr(spec: str, mock_drop: float = 0.0, seed: int = 0):
+    if spec == "mock":
+        return MockASR(drop=mock_drop, seed=seed)
+    if spec.startswith("hf:"):
+        return HFASR(spec[3:])
+    if spec.startswith("cmd:"):
+        return CmdASR(spec[4:])
+    raise ValueError(f"unknown ASR backend {spec!r} (mock | hf:<path> | cmd:<tpl>)")
+
+
+# ---------------------------------------------------------------------------
+# Embedding probes (reuse the engine's own conditioning stack)
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    den = np.linalg.norm(a) * np.linalg.norm(b)
+    return float(a @ b / den) if den > 0 else 0.0
+
+
+def campplus_style(engine, wav: np.ndarray, sr: int) -> np.ndarray:
+    """192-d CAMPPlus speaker embedding of arbitrary audio (the same
+    pipeline prepare_speaker uses: 16 kHz kaldi fbank, mean-norm)."""
+    import jax.numpy as jnp
+
+    from indextts_tpu.frontend import features as feat
+    from indextts_tpu.utils import audio as audio_utils
+
+    wav16 = audio_utils.resample(np.asarray(wav, np.float32), sr, 16000)
+    fb = feat.campplus_fbank(wav16)
+    fb = fb - fb.mean(axis=0, keepdims=True)
+    return np.asarray(engine._campplus_program(engine.p_campplus, jnp.asarray(fb[None])))
+
+
+def emovec_of(engine, wav: np.ndarray, sr: int) -> np.ndarray:
+    """1024-d emotion vector of arbitrary audio through the GPT's emotion
+    conditioning path (w2v-BERT → emo conformer → perceiver → emovec;
+    reference: model_v2.py get_emo_conditioning + merge_emovec input)."""
+    import jax.numpy as jnp
+
+    from indextts_tpu.frontend import features as feat
+    from indextts_tpu.models.unified_voice import UnifiedVoice
+    from indextts_tpu.utils import audio as audio_utils
+
+    wav16 = audio_utils.resample(np.asarray(wav, np.float32), sr, 16000)
+    features, mask = feat.seamless_features(wav16)
+    cond = engine._w2v_program(
+        engine.p_w2vbert, jnp.asarray(features), jnp.asarray(mask),
+        engine.semantic_mean, engine.semantic_std,
+    )
+    vec = engine.gpt.apply(
+        {"params": engine.p_gpt}, cond, jnp.asarray([int(mask.sum())]),
+        method=UnifiedVoice.get_emovec,
+    )
+    return np.asarray(vec)
+
+
+# ---------------------------------------------------------------------------
+# Harness
+# ---------------------------------------------------------------------------
+
+
+def _synthesize(engine, case: Dict, spk: str, seed: int) -> Dict:
+    kwargs = {}
+    if case.get("emo_audio"):
+        kwargs["emo_audio"] = case["emo_audio"]
+    if case.get("emo_alpha") is not None:
+        kwargs["emo_alpha"] = case["emo_alpha"]
+    if case.get("emo_vector"):
+        kwargs["emo_vector"] = engine.normalize_emo_vec(case["emo_vector"])
+    text = case["text"]
+    if engine.tokenizer is not None:
+        return engine.infer_text(spk, text, seed=seed, **kwargs)
+    # tokenizer-less engines (tiny test configs): byte-hash pseudo-tokens,
+    # same convention as tools/benchmark_infer.py
+    ids = np.frombuffer(text.encode()[:400], dtype=np.uint8).astype(np.int32)
+    ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
+    return engine.infer(spk, [ids], seed=seed, **kwargs)
+
+
+def evaluate(
+    engine,
+    cases: List[Dict],
+    asr,
+    spk_audio: Optional[str] = None,
+    seed: int = 0,
+    wav_dir: Optional[str] = None,
+    progress: Optional[Callable[[Dict], None]] = None,
+) -> Dict:
+    """Run the three quality metrics over `cases`; returns the artifact
+    dict (rows + aggregates). `asr` is any object with
+    ``transcribe(wav, sr, ref_text) -> str``."""
+    from indextts_tpu.utils import audio as audio_utils
+
+    rows = []
+    tot_err = tot_ref = 0
+    spk_sims, emo_sims = [], []
+    for i, case in enumerate(cases):
+        spk = case.get("spk_audio") or spk_audio
+        if spk is None:
+            raise ValueError("need spk_audio (per case or default)")
+        t0 = time.perf_counter()
+        out = _synthesize(engine, case, spk, seed + i)
+        gen_s = time.perf_counter() - t0
+        wav, out_sr = np.asarray(out["audio"], np.float32), out["sampling_rate"]
+        if wav_dir:
+            Path(wav_dir).mkdir(parents=True, exist_ok=True)
+            audio_utils.save_wav(
+                str(Path(wav_dir) / f"{case.get('id', i)}.wav"), wav, out_sr
+            )
+
+        hyp = asr.transcribe(wav, out_sr, ref_text=case["text"])
+        err, n_ref = wer_counts(case["text"], hyp)
+        tot_err += err
+        tot_ref += n_ref
+
+        prompt_wav, prompt_sr = audio_utils.load_wav(spk) if isinstance(spk, str) else spk
+        prompt_style = campplus_style(engine, prompt_wav, prompt_sr)
+        synth_style = campplus_style(engine, wav, out_sr)
+        s_sim = cosine(prompt_style, synth_style)
+        spk_sims.append(s_sim)
+
+        if case.get("emo_audio"):
+            ew, esr = audio_utils.load_wav(case["emo_audio"])
+            target_emo = emovec_of(engine, ew, esr)
+            emo_mode = "audio"
+        elif case.get("emo_vector"):
+            target_emo = engine._emovec_from_matrix(
+                engine.normalize_emo_vec(case["emo_vector"]),
+                prompt_style, use_random=False,
+            )
+            emo_mode = "vector"
+        else:
+            target_emo = emovec_of(engine, prompt_wav, prompt_sr)
+            emo_mode = "neutral"
+        e_sim = cosine(emovec_of(engine, wav, out_sr), target_emo)
+        emo_sims.append(e_sim)
+
+        row = {
+            "id": case.get("id", str(i)),
+            "wer": round(err / max(n_ref, 1), 4),
+            "wer_errors": err,
+            "ref_tokens": n_ref,
+            "spk_sim": round(s_sim, 4),
+            "emo_sim": round(e_sim, 4),
+            "emo_mode": emo_mode,
+            "audio_dur_s": round(out["duration_sec"], 3),
+            "gen_time_s": round(gen_s, 3),
+        }
+        rows.append(row)
+        if progress:
+            progress(row)
+
+    return {
+        "meta": {
+            "asr": asr.name,
+            "asr_needs_ref": bool(getattr(asr, "needs_ref", False)),
+            "n_cases": len(cases),
+            "seed": seed,
+        },
+        "cases": rows,
+        "aggregate": {
+            "wer": round(tot_err / max(tot_ref, 1), 4),
+            "spk_sim_mean": round(float(np.mean(spk_sims)), 4),
+            "spk_sim_min": round(float(np.min(spk_sims)), 4),
+            "emo_sim_mean": round(float(np.mean(emo_sims)), 4),
+        },
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--cases", required=True, help="JSONL case file")
+    p.add_argument("--model-dir", default=None,
+                   help="checkpoint dir (omit: random weights, harness-only run)")
+    p.add_argument("--spk-audio", default=None, help="default prompt wav")
+    p.add_argument("--asr", default="mock",
+                   help="ASR backend: mock | hf:<model-path> | cmd:<tpl with {wav}>")
+    p.add_argument("--mock-asr-drop", type=float, default=0.0,
+                   help="mock backend: per-token corruption probability")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", default="EVAL.json")
+    p.add_argument("--wav-dir", default=None, help="save synthesized wavs here")
+    args = p.parse_args(argv)
+
+    if args.model_dir:
+        from indextts_tpu.runtime.loader import load_engine
+
+        engine = load_engine(args.model_dir)
+        weights = "checkpoint"
+    else:
+        from indextts_tpu.config import load_config
+        from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
+
+        cfg = load_config()
+        engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+        weights = "random"
+
+    cases = [json.loads(l) for l in open(args.cases) if l.strip()]
+    asr = make_asr(args.asr, mock_drop=args.mock_asr_drop, seed=args.seed)
+    result = evaluate(
+        engine, cases, asr, spk_audio=args.spk_audio, seed=args.seed,
+        wav_dir=args.wav_dir,
+        progress=lambda r: print(json.dumps(r), file=sys.stderr),
+    )
+    result["meta"]["weights"] = weights
+    result["meta"]["model_dir"] = args.model_dir
+    if weights == "random":
+        result["meta"]["note"] = (
+            "random weights: numbers validate the harness, not the model"
+        )
+    Path(args.output).write_text(json.dumps(result, indent=2) + "\n")
+    print(json.dumps({"output": args.output, **result["aggregate"]}))
+    return result
+
+
+if __name__ == "__main__":
+    main()
