@@ -67,7 +67,7 @@ def maybe_initialize_distributed() -> bool:
     if nproc is not None:
         kwargs["num_processes"] = int(nproc)
     if pid is not None:
-        kwargs["process_index"] = int(pid)
+        kwargs["process_id"] = int(pid)
     jax.distributed.initialize(**kwargs)
     _INITIALIZED = True
     log.info(
