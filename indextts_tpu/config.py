@@ -376,12 +376,18 @@ class RuntimeConfig:
     # (reference output semantics: clamp(32767*wav).int16, infer_v2.py:866;
     # halves d2h bytes). The engine's public float API rescales by 1/32767.
     device_pcm16: bool = True
-    # cross-request TEXT-prefix KV reuse (reference: chained block hashes,
-    # accel/kv_manager.py:106-198): serving requests that share a text
-    # prefix (templated prompts) reuse its prefilled KV at a 32-token grid.
-    # Prompts are then built LEFT-aligned (numerically equivalent; pads are
-    # masked), so sampled output can differ from the right-aligned default
-    # in ulp-tie cases — off by default, enable with TARS_PREFIX_REUSE=1.
+    # EXPERIMENTAL — cross-request TEXT-prefix KV reuse (reference: chained
+    # block hashes, accel/kv_manager.py:106-198): serving requests sharing a
+    # text prefix (templated prompts) reuse its prefilled KV at a 32-token
+    # grid. Token-exact (tests/test_prefix_kv.py) but measured TTFB-NEUTRAL
+    # on a repeated-prefix serving workload (BENCH_PREFIX_r03.json: p50
+    # 1.664 s on vs 1.670 s off): the segmenter caps text at ≤120 tokens, so
+    # a text prefill is a few ms on v5e and the feature's win condition
+    # (long templated prompts) cannot occur. Kept only for workloads that
+    # bypass the segmenter cap. Prompts are then built LEFT-aligned
+    # (numerically equivalent; pads are masked), so sampled output can
+    # differ from the right-aligned default in ulp-tie cases — off by
+    # default, enable with TARS_PREFIX_REUSE=1.
     text_prefix_reuse: bool = False
     # static decode-loop bucket sizes (text prompt padded to one of these)
     text_buckets: Tuple[int, ...] = (32, 64, 128)
