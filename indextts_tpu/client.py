@@ -63,7 +63,10 @@ class TTSClient:
         n = 0
         with open(out_path, "wb") as f:
             while True:
-                chunk = r.read(4096)
+                # read1 returns as soon as any data arrives; a plain
+                # read(n) on a chunked response waits for n bytes and
+                # inflates the measured TTFB
+                chunk = r.read1(65536)
                 if not chunk:
                     break
                 if ttfb is None:

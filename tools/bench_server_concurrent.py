@@ -39,19 +39,27 @@ def pct(xs, p):
     return xs[k]
 
 
-def client_worker(port, cid, n_requests, results, texts, repeat_prefix):
+def client_worker(port, cid, n_requests, results, texts, repeat_prefix,
+                  endpoint="/tts/stream", segments=1, seed_base=0):
     for r in range(n_requests):
         # repeated-prefix workload: every request shares the template head,
         # unique tail + seed (exercises text-prefix KV reuse when enabled
         # and dodges the sha256 response cache)
         # keep requests within one segment of the continuous batcher's
-        # 120-token bucket (no-tokenizer mode maps bytes->tokens 1:1)
-        text = texts[(cid + r) % len(texts)][:110]
+        # 120-token bucket (no-tokenizer mode maps bytes->tokens 1:1);
+        # segments>1 tiles the sentence so the server's splitter yields that
+        # many segments — separating streaming first-chunk time from total
+        base = texts[(cid + r) % len(texts)]
+        text = (base * ((segments * 110) // len(base) + 1))[:segments * 110]
         if repeat_prefix:
             # fixed-width unique tail: every request byte-tokenizes to the
             # same length, so the warm pass covers the timed shapes exactly
             text = texts[0][:90] + f" v {cid % 100:02d}-{r % 100:02d}"
-        payload = json.dumps({"text": text, "seed": 1000 * cid + r}).encode()
+        # seed_base separates the stream/blocking passes' payloads so the
+        # sha256 response cache never shortcuts the second pass
+        payload = json.dumps(
+            {"text": text, "seed": seed_base + 1000 * cid + r}
+        ).encode()
         t0 = time.perf_counter()
         ttfb = None
         nbytes = 0
@@ -59,7 +67,7 @@ def client_worker(port, cid, n_requests, results, texts, repeat_prefix):
             conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
             try:
                 conn.request(
-                    "POST", "/tts/stream", body=payload,
+                    "POST", endpoint, body=payload,
                     headers={"Content-Type": "application/json"},
                 )
                 resp = conn.getresponse()
@@ -70,7 +78,12 @@ def client_worker(port, cid, n_requests, results, texts, repeat_prefix):
                     continue
                 assert resp.status == 200, (resp.status, resp.read()[:200])
                 while True:
-                    chunk = resp.read(65536)
+                    # read1: returns as soon as ANY data arrives. A plain
+                    # read(n) on a chunked response buffers until n bytes or
+                    # EOF, which silently turns TTFB into total time (the
+                    # r3 artifact's TTFB==total was this client bug, not the
+                    # server: the server writes+drains per chunk).
+                    chunk = resp.read1(65536)
                     if not chunk:
                         break
                     if ttfb is None:
@@ -95,6 +108,13 @@ def main():
     ap.add_argument("--port", type=int, default=18652)
     ap.add_argument("--repeat-prefix", action="store_true",
                     help="all requests share one long text prefix")
+    ap.add_argument("--segments", type=int, default=1,
+                    help="segments per request (>1 separates streaming TTFB "
+                         "from total: first chunk yields while later "
+                         "segments decode)")
+    ap.add_argument("--blocking-pass", action="store_true",
+                    help="also time a POST /tts pass for the streaming-vs-"
+                         "blocking TTFB comparison")
     args = ap.parse_args()
 
     # env contract for serve.main (read there): continuous slots + request
@@ -167,45 +187,57 @@ def main():
         "available representative who can handle your billing request. " * 2,
     ]
 
+    def timed_pass(endpoint, seed_base=0):
+        results: list = []
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(
+                target=client_worker,
+                args=(args.port, c, args.requests, results, texts,
+                      args.repeat_prefix, endpoint, args.segments, seed_base),
+            )
+            for c in range(args.clients)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        ttfbs = [r["ttfb"] for r in results if r["ttfb"] is not None]
+        totals = [r["total"] for r in results]
+        audio = sum(r["audio_s"] for r in results)
+        return {
+            "wall_s": round(wall, 2),
+            "aggregate_audio_s": round(audio, 2),
+            "aggregate_audio_s_per_s": round(audio / wall, 2),
+            "ttfb_p50_s": round(pct(ttfbs, 50), 3) if ttfbs else None,
+            "ttfb_p95_s": round(pct(ttfbs, 95), 3) if ttfbs else None,
+            "total_p50_s": round(pct(totals, 50), 3),
+            "total_p95_s": round(pct(totals, 95), 3),
+            "n_results": len(results),
+        }
+
     # one warm client pass so every request shape is compiled before timing
     warm: list = []
-    client_worker(args.port, 99, 1, warm, texts, args.repeat_prefix)
+    client_worker(args.port, 99, 1, warm, texts, args.repeat_prefix,
+                  segments=args.segments)
     print(f"warm request: {warm[0]['total']:.2f}s "
           f"audio={warm[0]['audio_s']:.2f}s", file=sys.stderr)
 
-    results: list = []
-    t0 = time.perf_counter()
-    threads = [
-        threading.Thread(
-            target=client_worker,
-            args=(args.port, c, args.requests, results, texts,
-                  args.repeat_prefix),
-        )
-        for c in range(args.clients)
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
-
-    ttfbs = [r["ttfb"] for r in results if r["ttfb"] is not None]
-    totals = [r["total"] for r in results]
-    audio = sum(r["audio_s"] for r in results)
     out = {
         "mode": args.mode,
         "clients": args.clients,
         "requests_per_client": args.requests,
         "repeat_prefix": bool(args.repeat_prefix),
-        "wall_s": round(wall, 2),
-        "aggregate_audio_s": round(audio, 2),
-        "aggregate_audio_s_per_s": round(audio / wall, 2),
-        "ttfb_p50_s": round(pct(ttfbs, 50), 3) if ttfbs else None,
-        "ttfb_p95_s": round(pct(ttfbs, 95), 3) if ttfbs else None,
-        "total_p50_s": round(pct(totals, 50), 3),
-        "total_p95_s": round(pct(totals, 95), 3),
-        "n_results": len(results),
+        "segments": args.segments,
+        **timed_pass("/tts/stream"),
     }
+    if args.blocking_pass:
+        out["blocking"] = timed_pass("/tts", seed_base=500000)
+        if out["ttfb_p50_s"] and out["blocking"]["total_p50_s"]:
+            out["stream_ttfb_vs_blocking_total"] = round(
+                out["ttfb_p50_s"] / out["blocking"]["total_p50_s"], 3
+            )
     print(json.dumps(out))
 
 

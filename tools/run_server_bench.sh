@@ -7,13 +7,16 @@ cd "$(dirname "$0")/.."
 N="${1:-03}"
 CLIENTS="${CLIENTS:-4}"
 REQUESTS="${REQUESTS:-3}"
+SEGMENTS="${SEGMENTS:-4}"   # >1: streaming TTFB separates from total
 
 seq_json=$(python tools/bench_server_concurrent.py --mode sequential \
-    --clients "$CLIENTS" --requests "$REQUESTS" | tail -1)
+    --clients "$CLIENTS" --requests "$REQUESTS" \
+    --segments "$SEGMENTS" --blocking-pass | tail -1)
 sleep 60  # let the tunnel release the chip claim
 cont_json=$(TARS_CONTINUOUS_SLOTS="$CLIENTS" \
     python tools/bench_server_concurrent.py --mode continuous \
-    --clients "$CLIENTS" --requests "$REQUESTS" | tail -1)
+    --clients "$CLIENTS" --requests "$REQUESTS" \
+    --segments "$SEGMENTS" --blocking-pass | tail -1)
 
 python - "$N" "$seq_json" "$cont_json" <<'EOF'
 import json, sys
