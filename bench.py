@@ -141,8 +141,32 @@ def main():
 
     audio_per_s = total_audio / total_wall
     rtf = total_wall / total_audio
-    log(f"stages: {stage_totals}")
     log(f"steady-state: {audio_per_s:.2f} audio-sec/s (RTF {rtf:.3f})")
+
+    # per-stage sequential breakdown with stage barriers (TARS_STAGE_SYNC):
+    # the async stage_totals above are dispatch-skewed (a stage's wait lands
+    # in the NEXT stage's clock) — publish only the sync'd table, from one
+    # extra untimed pass, so the stage sum matches the wall clock
+    seq_stages = None
+    try:
+        os.environ["TARS_STAGE_SYNC"] = "1"
+        for _ in range(2):  # first sync'd pass can absorb a tunnel hiccup
+            out = engine.infer((prompt, sr), [text], seed=99,
+                               max_mel_tokens=n_codes,
+                               num_beams=n_beams, do_sample=True)
+        s = out["stats"][0]
+        seq_stages = {
+            "gpt_gen": round(s.gpt_gen_time, 3),
+            "gpt_fwd": round(s.gpt_forward_time, 3),
+            "s2mel": round(s.s2mel_time, 3),
+            "bigvgan": round(s.bigvgan_time, 3),
+        }
+        log(f"sequential stages (sync'd): {seq_stages} "
+            f"(sum {sum(seq_stages.values()):.3f}s)")
+    except Exception as e:
+        log(f"sync'd sequential stage pass failed: {e!r}")
+    finally:
+        os.environ.pop("TARS_STAGE_SYNC", None)
 
     # batched AR decode throughput (continuous-batching proxy): B sequences
     # decoded concurrently in one jitted loop; measured at B=8 and B=16
@@ -269,6 +293,7 @@ def main():
                 "batched_e2e_audio_s": round(batched_e2e_audio_s, 2)
                 if batched_e2e_audio_s
                 else None,
+                "stages": seq_stages,  # sync'd (TARS_STAGE_SYNC) sequential table
                 "batched_stages": batched_stages,
                 "beam3_audio_s": round(beam3_audio_s, 2)
                 if beam3_audio_s

@@ -14,6 +14,7 @@ device-resident, like the reference keeps it GPU-resident (SURVEY §3.2).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, Generator, List, Optional, Sequence, Tuple, Union
@@ -669,6 +670,13 @@ class IndexTTS2Engine:
             jnp.asarray([code_len]),
             emovec,
         )
+        # stage barriers under TARS_STAGE_SYNC=1: without them the async
+        # dispatch queue smears each stage's wait into the NEXT stage's
+        # wall clock (the vocoder's np.asarray was absorbing the s2mel
+        # wait); normal runs stay fully async
+        sync = os.environ.get("TARS_STAGE_SYNC", "0") == "1"
+        if sync:
+            self._force(latent)
         t_gpt_fwd = time.perf_counter() - t1
 
         # s2mel -----------------------------------------------------------
@@ -712,6 +720,8 @@ class IndexTTS2Engine:
         mel_out = vc[:, :, spk.ref_mel_len : spk.ref_mel_len + target_len_exact]
         if getattr(self, "_mel_taps", None) is not None:
             self._mel_taps.append(np.asarray(mel_out))  # parity-test capture
+        if sync:
+            self._force(vc)
         t_s2mel = time.perf_counter() - t2
 
         # vocoder ---------------------------------------------------------
@@ -810,9 +820,7 @@ class IndexTTS2Engine:
         # per-stage wall clocks; only meaningful with TARS_STAGE_SYNC=1 (each
         # stage then synchronizes before the next timestamp — profiling mode;
         # default leaves dispatch async and the table shows dispatch skew)
-        import os as _os
-
-        sync = _os.environ.get("TARS_STAGE_SYNC", "0") == "1"
+        sync = os.environ.get("TARS_STAGE_SYNC", "0") == "1"
         tstage: Dict[str, float] = {}
         t_mark = time.perf_counter()
 

@@ -128,6 +128,23 @@ def test_e2e_two_segments_with_silence(engine, rng):
     assert out["duration_sec"] > 0
 
 
+def test_e2e_stage_sync_sequential(engine, rng, monkeypatch):
+    """TARS_STAGE_SYNC=1 inserts per-stage barriers in the SEQUENTIAL path
+    too (r3 published a dispatch-skewed table: s2mel 0.011 s with the wait
+    smeared into bigvgan). Audio must be identical to the async run and
+    every stage clock must be positive."""
+    sr = 16000
+    prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    text = rng.integers(2, 50, 6)
+    base = engine.infer((prompt, sr), [text], seed=8)
+    monkeypatch.setenv("TARS_STAGE_SYNC", "1")
+    synced = engine.infer((prompt, sr), [text], seed=8)
+    np.testing.assert_array_equal(base["audio"], synced["audio"])
+    s = synced["stats"][0]
+    for v in (s.gpt_gen_time, s.gpt_forward_time, s.s2mel_time, s.bigvgan_time):
+        assert v > 0
+
+
 def test_e2e_emotion_vector(engine, rng):
     sr = 16000
     prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
