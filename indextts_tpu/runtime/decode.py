@@ -655,7 +655,26 @@ class GPTDecoder:
         fin_codes0 = jnp.full((nb, max_new), cfg.stop_mel_token, jnp.int32)
         fin_lens0 = jnp.zeros((nb,), jnp.int32)
 
-        def body_fn(state):
+        def reorder_token_region(c, beam_idx, hi):
+            """Beam-reorder ONLY the generated token region [S, hi) of a
+            cache component (token axis 3 in every standard-layout
+            component: int8/float K,V (L,B,H,cap,Dh) and scales
+            (L,B,H,cap)). The prompt region [0,S) is bit-identical across
+            beams (expanded by jnp.repeat, never written again) and
+            positions >= the valid length are masked junk — so this is
+            exactly equivalent to the full-cap gather while moving hi-S
+            instead of cap positions per step (the full gather was the
+            dominant beam HBM cost: ~2x the attention read itself)."""
+            gen = jax.lax.slice_in_dim(c, S, hi, axis=3)
+            gen = gen[:, beam_idx]
+            return jax.lax.dynamic_update_slice(
+                c, gen, (0, 0, 0, S) + (0,) * (c.ndim - 4)
+            )
+
+        def make_beam_body(prefix_limit):
+          reorder_hi = cap if prefix_limit is None else prefix_limit
+
+          def body_fn(state):
             (step, codes, logits, caches, beam_scores, penal,
              fin_scores, fin_codes, fin_lens, key) = state
             # HF beam_search order: log_softmax FIRST, then processors
@@ -725,9 +744,10 @@ class GPTDecoder:
             codes = codes[beam_idx]
             penal = penal[beam_idx]
             # reorder every cache component (int8 codes + scales included) by
-            # the surviving beams — HF _reorder_cache (model_v2.py:227-240)
+            # the surviving beams — HF _reorder_cache (model_v2.py:227-240);
+            # restricted to the generated region (see reorder_token_region)
             caches = jax.tree_util.tree_map(
-                lambda c: c[:, beam_idx], caches
+                lambda c: reorder_token_region(c, beam_idx, reorder_hi), caches
             )
             codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
             penal = penal.at[jnp.arange(nb), tok].set(True)
@@ -736,6 +756,7 @@ class GPTDecoder:
             hidden, caches = self._decode_step_call(
                 params, emb, caches, S + step,
                 jnp.full((nb,), S + step + 1, jnp.int32), cap_mask,
+                prefix_limit=prefix_limit,
             )
             logits = model.apply(
                 params, hidden[:, 0], method=UnifiedVoice.mel_logits_from_hidden
@@ -743,7 +764,10 @@ class GPTDecoder:
             return (step + 1, codes, logits, caches, beam_scores, penal,
                     fin_scores, fin_codes, fin_lens, key)
 
-        def cond_fn(state):
+          return body_fn
+
+        def make_beam_cond(end: int):
+          def cond_fn(state):
             (step, _, _, _, beam_scores, _, fin_scores, _, _, _) = state
             # HF is_done (early_stopping=False): nb finalized AND the worst
             # finalized beats the best possible active continuation
@@ -753,7 +777,9 @@ class GPTDecoder:
                 length_penalty,
             )
             done = jnp.logical_and(n_fin_full, fin_scores[nb - 1] >= cur_norm)
-            return jnp.logical_and(step < max_new, ~done)
+            return jnp.logical_and(step < end, ~done)
+
+          return cond_fn
 
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -765,8 +791,31 @@ class GPTDecoder:
             jnp.asarray(0, jnp.int32), codes0, logits0, caches,
             beam_scores0, penal0, fin_scores0, fin_codes0, fin_lens0, key,
         )
+        # phased beam decode (same grid semantics as the sampling loop):
+        # each phase's attention reads AND cache reorders are statically
+        # bounded to the growing valid prefix; token-identical to the
+        # monolithic loop (positions >= the valid length are masked in both,
+        # and the reorder restriction is exact — see reorder_token_region)
+        G = self.PHASE
+        attn_impl = getattr(model, "attn_impl", "xla")
+        if (G > 0 and attn_impl in ("xla", "xla_bucketed")
+                and (-(-(S + 1) // G) * G) < cap):
+            k = -(-(S + 1) // G)
+            while True:
+                lim = min(k * G, cap)
+                end = min(lim - S, max_new)
+                state = jax.lax.while_loop(
+                    make_beam_cond(end), make_beam_body(lim), state
+                )
+                if end >= max_new:
+                    break
+                k += 1
+        else:
+            state = jax.lax.while_loop(
+                make_beam_cond(max_new), make_beam_body(None), state
+            )
         (step, codes, _, _, beam_scores, _, fin_scores, fin_codes,
-         fin_lens, _) = jax.lax.while_loop(cond_fn, body_fn, state)
+         fin_lens, _) = state
 
         # finalize: merge still-active beams (no eos; length = step)
         act_norm = beam_scores / jnp.power(

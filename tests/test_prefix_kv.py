@@ -296,3 +296,39 @@ def test_engine_cond_kv_cache_population(tmp_path):
     out2 = engine.infer(wav_path, seg, seed=0, do_sample=True, num_beams=1)
     assert len(engine._cond_kv_cache) == 1  # reused, not regrown
     np.testing.assert_array_equal(out1["audio"], out2["audio"])
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("do_sample", [False, True])
+def test_beam_phased_matches_monolithic(rng, quant, do_sample, monkeypatch):
+    """Phased beam decode (TARS_DECODE_PHASE grid: statically-bounded
+    attention reads AND generated-region-restricted cache reorders) is
+    token-identical to the monolithic full-cap beam loop, in both cache
+    layouts and both beam modes."""
+    model = UnifiedVoice(CFG, kv_quant=quant)
+    Lt, max_new = 7, 20
+    params = _params(model, 1)
+    conds = jnp.asarray(rng.standard_normal((1, 34, 64)), jnp.float32)
+    text = rng.integers(2, 50, (1, Lt))
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=do_sample))
+    ids, pos, valid = dec.build_text_prompt_arrays(text, np.asarray([Lt]), Lt)
+    kw = dict(
+        max_new=max_new, num_beams=3, do_sample=do_sample,
+        key=jax.random.PRNGKey(5) if do_sample else None,
+        temperature=0.8, top_p=0.8,
+    )
+    want = dec.generate_beam(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        **kw,
+    )
+    # S = 34 conds + (7+2) text + 1 start = 44; G=8 -> first lim 48 < cap 64
+    monkeypatch.setattr(GPTDecoder, "PHASE", 8)
+    dec_ph = GPTDecoder(model, CFG, SamplingConfig(do_sample=do_sample))
+    got = dec_ph.generate_beam(
+        params, conds, jnp.asarray(ids), jnp.asarray(pos), jnp.asarray(valid),
+        **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(got.codes), np.asarray(want.codes))
+    np.testing.assert_array_equal(
+        np.asarray(got.lengths), np.asarray(want.lengths)
+    )
