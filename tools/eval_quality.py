@@ -221,8 +221,9 @@ def emovec_of(engine, wav: np.ndarray, sr: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _synthesize(engine, case: Dict, spk: str, seed: int) -> Dict:
-    kwargs = {}
+def _synthesize(engine, case: Dict, spk: str, seed: int,
+                gen_kwargs: Optional[Dict] = None) -> Dict:
+    kwargs = dict(gen_kwargs or {})
     if case.get("emo_audio"):
         kwargs["emo_audio"] = case["emo_audio"]
     if case.get("emo_alpha") is not None:
@@ -247,6 +248,7 @@ def evaluate(
     seed: int = 0,
     wav_dir: Optional[str] = None,
     progress: Optional[Callable[[Dict], None]] = None,
+    gen_kwargs: Optional[Dict] = None,
 ) -> Dict:
     """Run the three quality metrics over `cases`; returns the artifact
     dict (rows + aggregates). `asr` is any object with
@@ -261,7 +263,7 @@ def evaluate(
         if spk is None:
             raise ValueError("need spk_audio (per case or default)")
         t0 = time.perf_counter()
-        out = _synthesize(engine, case, spk, seed + i)
+        out = _synthesize(engine, case, spk, seed + i, gen_kwargs)
         gen_s = time.perf_counter() - t0
         wav, out_sr = np.asarray(out["audio"], np.float32), out["sampling_rate"]
         if wav_dir:
