@@ -152,6 +152,10 @@ class GPTDecoder:
         self.cfg = cfg
         self.sampling = sampling
         self.param_dtype = param_dtype
+        # re-read the phase grid per decoder so a process can flip
+        # TARS_DECODE_PHASE between decoder builds (the class attribute is
+        # only the import-time default)
+        self.PHASE = int(os.environ.get("TARS_DECODE_PHASE", str(type(self).PHASE)))
         self._generate_jit = functools.partial(
             jax.jit,
             static_argnames=("max_new",),
