@@ -159,19 +159,30 @@ class IndexTTS2Engine:
             with bf16 compute would re-cast ~1GB of weights EVERY decode step
             (3x HBM traffic on the hot loop). int8 dequant scales stay fp32 —
             they are tiny (per-out-channel vectors) but bf16-rounding them
-            (~0.4%) would double the W8 dequant error for zero bandwidth."""
-            tree = put(tree)
+            (~0.4%) would double the W8 dequant error for zero bandwidth.
+
+            Host-resident leaves are cast BEFORE device_put: bf16 halves the
+            host->device bytes, which dominates engine startup through a
+            tunneled TPU (same round-to-nearest-even rounding either side).
+            Device-resident leaves keep the old put-then-cast path (pulling
+            them back to host would be the opposite pessimization)."""
             if dtype == jnp.float32:
-                return tree
+                return put(tree)
+            np_dt = np.dtype(dtype)
 
             def cast(path, x):
                 if any(
                     getattr(k, "key", None) == "kernel_scale" for k in path
                 ):
-                    return x
-                if jnp.issubdtype(x.dtype, jnp.floating):
-                    return x.astype(dtype)
-                return x
+                    return put(x)
+                if isinstance(x, np.ndarray) and np.issubdtype(
+                    x.dtype, np.floating
+                ):
+                    return put(x.astype(np_dt))
+                y = put(x)
+                if jnp.issubdtype(y.dtype, jnp.floating):
+                    y = y.astype(dtype)
+                return y
 
             return jax.tree_util.tree_map_with_path(cast, tree)
 
