@@ -154,7 +154,7 @@ def s2mel_bench(B=8, n_codes=None, n=3):
     time just the jitted s2mel program (regulator + 20-step Euler DiT solve)."""
     n_codes = n_codes or N_CODES
     spk = _spk()
-    from indextts_tpu.utils.buckets import next_bucket
+    from indextts_tpu.runtime.engine import next_bucket
 
     code_bucket = next_bucket(n_codes, 64, 64)
     codes_arr = np.full((B, code_bucket), cfg.gpt.stop_mel_token, np.int32)
