@@ -407,6 +407,9 @@ class RuntimeConfig:
             enable_streaming=_env_flag("TARS_ENABLE_STREAMING", True),
             attn_impl=os.environ.get("TARS_ATTN_IMPL", "auto"),
             kv_quant=_env_flag("TARS_KV_QUANT", False),
+            # library default stays the reference HF default (3); serve.py
+            # sets this to 1 for serving (see its --num-beams rationale)
+            num_beams=int(os.environ.get("TARS_NUM_BEAMS", "3")),
             gpt_quantize=_env_flag("TARS_GPT_QUANTIZE", False),
             gpt_wbits=int(os.environ.get("TARS_GPT_WBITS", "8")),
             gemv_impl=os.environ.get("TARS_GEMV_IMPL", "auto"),

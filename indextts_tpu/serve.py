@@ -25,7 +25,18 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--reference-audio", default=None,
                    help="default speaker prompt wav")
+    p.add_argument("--num-beams", type=int,
+                   default=int(os.environ.get("TARS_NUM_BEAMS", "1")),
+                   help="decode route for serving. Default 1 (the jitted "
+                        "sampling loop): the beam-multinomial route is ~1.9x "
+                        "slower e2e for the same sampling-mode output "
+                        "quality class (BENCH beam3_audio_s vs the headline), "
+                        "and the reference's own accelerated serving path "
+                        "ignores num_beams too (model_v2.py:871-883). Set 3 "
+                        "for the reference HF-default beam-multinomial route.")
     args = p.parse_args(argv)
+    # the engine reads runtime.num_beams from the env-built config
+    os.environ["TARS_NUM_BEAMS"] = str(args.num_beams)
 
     # multi-host jobs (DP over hosts): initialize jax.distributed before any
     # device use; strict no-op for the single-process case

@@ -188,3 +188,17 @@ def test_value_error_maps_to_400():
     out = asyncio.run(scenario())
     assert out.startswith(b"HTTP/1.1 400")
     assert b"Qwen" in out
+
+
+def test_serving_beam_default(monkeypatch):
+    """The serving default decode route is the sampling loop (num_beams=1,
+    via TARS_NUM_BEAMS — measured ~1.9x cheaper e2e than beam-3; the
+    reference's accelerated serving path ignores num_beams too,
+    model_v2.py:871-883). The library default stays at the reference HF
+    default (3)."""
+    from indextts_tpu.config import RuntimeConfig
+
+    monkeypatch.delenv("TARS_NUM_BEAMS", raising=False)
+    assert RuntimeConfig.from_env().num_beams == 3
+    monkeypatch.setenv("TARS_NUM_BEAMS", "1")
+    assert RuntimeConfig.from_env().num_beams == 1
