@@ -243,3 +243,49 @@ def test_use_emo_text_without_qwen_raises(engine):
                               use_emo_text=True)
     finally:
         engine.tokenizer = None
+
+
+def test_bf16_param_store_dtypes(rng):
+    """bf16-bundle engines store float params in bf16 (host-cast before the
+    device transfer — halves startup h2d bytes); int8 dequant scales stay
+    fp32 (put_as contract)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        runtime=dataclasses.replace(
+            cfg.runtime, s2mel_dtype="bfloat16", voc_dtype="bfloat16",
+            gpt_quantize=True, kv_quant=True,
+        ),
+    )
+    eng = IndexTTS2Engine(cfg, random_params(cfg, seed=0),
+                          gpt_dtype=jnp.bfloat16)
+    for tree in (eng.p_s2mel, eng.p_bigvgan):
+        dts = {
+            str(l.dtype)
+            for _, l in jax.tree_util.tree_leaves_with_path(tree)
+            if jnp.issubdtype(l.dtype, jnp.floating)
+        }
+        assert dts == {"bfloat16"}, dts
+    # quantized GPT: int8 kernels, fp32 scales, bf16 everything else float
+    flat = jax.tree_util.tree_leaves_with_path(eng.p_gpt)
+    scales = [l for p, l in flat
+              if any(getattr(k, "key", None) == "kernel_scale" for k in p)]
+    assert scales and all(l.dtype == jnp.float32 for l in scales)
+    others = {
+        str(l.dtype) for p, l in flat
+        if jnp.issubdtype(l.dtype, jnp.floating)
+        and not any(getattr(k, "key", None) == "kernel_scale" for k in p)
+    }
+    assert others == {"bfloat16"}, others
+    # fp32 vocoder sibling for the B=1 path
+    dts32 = {
+        str(l.dtype)
+        for _, l in jax.tree_util.tree_leaves_with_path(eng.p_bigvgan_f32)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+    }
+    assert dts32 == {"float32"}
