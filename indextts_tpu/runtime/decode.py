@@ -659,25 +659,7 @@ class GPTDecoder:
         fin_codes0 = jnp.full((nb, max_new), cfg.stop_mel_token, jnp.int32)
         fin_lens0 = jnp.zeros((nb,), jnp.int32)
 
-        def reorder_token_region(c, beam_idx, hi):
-            """Beam-reorder ONLY the generated token region [S, hi) of a
-            cache component (token axis 3 in every standard-layout
-            component: int8/float K,V (L,B,H,cap,Dh) and scales
-            (L,B,H,cap)). The prompt region [0,S) is bit-identical across
-            beams (expanded by jnp.repeat, never written again) and
-            positions >= the valid length are masked junk — so this is
-            exactly equivalent to the full-cap gather while moving hi-S
-            instead of cap positions per step (the full gather was the
-            dominant beam HBM cost: ~2x the attention read itself)."""
-            gen = jax.lax.slice_in_dim(c, S, hi, axis=3)
-            gen = gen[:, beam_idx]
-            return jax.lax.dynamic_update_slice(
-                c, gen, (0, 0, 0, S) + (0,) * (c.ndim - 4)
-            )
-
         def make_beam_body(prefix_limit):
-          reorder_hi = cap if prefix_limit is None else prefix_limit
-
           def body_fn(state):
             (step, codes, logits, caches, beam_scores, penal,
              fin_scores, fin_codes, fin_lens, key) = state
@@ -748,10 +730,15 @@ class GPTDecoder:
             codes = codes[beam_idx]
             penal = penal[beam_idx]
             # reorder every cache component (int8 codes + scales included) by
-            # the surviving beams — HF _reorder_cache (model_v2.py:227-240);
-            # restricted to the generated region (see reorder_token_region)
+            # the surviving beams — HF _reorder_cache (model_v2.py:227-240).
+            # One full-cap fused gather, deliberately: restricting the gather
+            # to the generated region (slice + gather + dynamic_update_slice)
+            # was measured 1.8x SLOWER e2e on v5e (2.62 vs 4.76 audio-s/s) —
+            # the carried cache stays live as the update-slice operand, so
+            # XLA materializes an extra full-cap copy instead of donating,
+            # while the plain gather replaces the buffer in one pass.
             caches = jax.tree_util.tree_map(
-                lambda c: reorder_token_region(c, beam_idx, reorder_hi), caches
+                lambda c: c[:, beam_idx], caches
             )
             codes = jax.lax.dynamic_update_slice(codes, tok[:, None], (0, step))
             penal = penal.at[jnp.arange(nb), tok].set(True)
