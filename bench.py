@@ -80,6 +80,10 @@ def main():
             diffusion_steps=int(os.environ.get("BENCH_DIFFUSION_STEPS", "20")),
             kv_quant=quant,
             gpt_quantize=quant,
+            # BENCH_WBITS=4: packed-nibble W4A8 GPT (streaming Pallas GEMVs).
+            # Measured r4 same-day vs W8: 9.6-10.0 vs 9.54 audio-sec/s
+            # single-stream (parity to +5%); W8 stays the default bundle.
+            gpt_wbits=int(os.environ.get("BENCH_WBITS", "8")),
             head_quant=os.environ.get("TARS_HEAD_QUANT", "0") == "1",
             s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", fast_dt),
             voc_dtype=os.environ.get("TARS_VOC_DTYPE", fast_dt),
