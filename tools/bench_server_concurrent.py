@@ -129,7 +129,10 @@ def main():
     os.environ.setdefault("TARS_GPT_QUANTIZE", "1")
     os.environ.setdefault("TARS_PRECOMPILE", "0")
     os.environ.setdefault("TARS_WARMUP", "1")
-    os.environ.setdefault("TARS_CACHE_DIR", "/tmp/tars_bench_cache")
+    # per-mode response cache: the sequential and continuous runs use the
+    # SAME payloads, so a shared cache dir would serve the second mode's
+    # blocking pass from disk and publish ~ms totals (r4 artifact bug)
+    os.environ["TARS_CACHE_DIR"] = f"/tmp/tars_bench_cache_{args.mode}"
     os.environ.setdefault(
         "JAX_COMPILE_CACHE", "/tmp/indextts_tpu_jax_cache_random"
     )
@@ -217,12 +220,21 @@ def main():
             "n_results": len(results),
         }
 
-    # one warm client pass so every request shape is compiled before timing
+    # one warm client pass PER ENDPOINT so every request shape is compiled
+    # before timing (the /tts path compiles programs the stream path does
+    # not: an unwarmed blocking pass times one ~50 s first-request compile)
     warm: list = []
     client_worker(args.port, 99, 1, warm, texts, args.repeat_prefix,
                   segments=args.segments)
     print(f"warm request: {warm[0]['total']:.2f}s "
           f"audio={warm[0]['audio_s']:.2f}s", file=sys.stderr)
+    if args.blocking_pass:
+        warm_b: list = []
+        client_worker(args.port, 98, 1, warm_b, texts, args.repeat_prefix,
+                      endpoint="/tts", segments=args.segments,
+                      seed_base=600000)
+        print(f"warm blocking request: {warm_b[0]['total']:.2f}s",
+              file=sys.stderr)
 
     out = {
         "mode": args.mode,
