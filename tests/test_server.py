@@ -202,3 +202,22 @@ def test_serving_beam_default(monkeypatch):
     assert RuntimeConfig.from_env().num_beams == 3
     monkeypatch.setenv("TARS_NUM_BEAMS", "1")
     assert RuntimeConfig.from_env().num_beams == 1
+
+
+def test_tts_client_blocking_and_stream(server, tmp_path):
+    """TTSClient end-to-end against the stub server: /tts writes a WAV,
+    /tts/stream writes PCM with a sane TTFB (read1 path: first chunk must
+    not wait for the full body)."""
+    from indextts_tpu.client import TTSClient
+
+    c = TTSClient("http://127.0.0.1:18321")
+    assert c.readyz()
+
+    out = c.tts("client blocking test", out_path=str(tmp_path / "b.wav"))
+    data = (tmp_path / "b.wav").read_bytes()
+    assert data[:4] == b"RIFF" and out["bytes"] == len(data)
+
+    s = c.tts_stream("client stream test", out_path=str(tmp_path / "s.pcm"))
+    # stub stream yields 3 chunks of 1024 f32 zeros -> 3*2048 s16le bytes
+    assert s["bytes"] == 3 * 2048
+    assert 0 < s["ttfb_s"] <= s["wall_s"]
