@@ -80,7 +80,11 @@ def main(argv=None):
     os.environ.setdefault("TARS_GPT_QUANTIZE", "1")
     os.environ.setdefault("TARS_PRECOMPILE", "0")
     os.environ.setdefault("TARS_WARMUP", "1")
-    os.environ["TARS_CACHE_DIR"] = "/tmp/tars_soak_cache"
+    # fresh response-cache dir per run: a soak measures synthesis, and a
+    # reused dir + repeated seeds would serve every wave from disk
+    import tempfile
+
+    os.environ["TARS_CACHE_DIR"] = tempfile.mkdtemp(prefix="tars_soak_cache_")
     os.environ.setdefault(
         "JAX_COMPILE_CACHE", "/tmp/indextts_tpu_jax_cache"
     )
@@ -190,6 +194,10 @@ def main(argv=None):
         "requests": sum(w["n"] for w in waves),
         "waves": args.waves,
         "rss_growth_mb": round(rss_growth, 1),
+        # the device memory gauge is not exposed through every backend
+        # (the axon tunnel reports no memory_stats); say so rather than
+        # publishing a vacuously-passing 0-growth gate
+        "hbm_gauge": "ok" if first["hbm_gb_in_use"] > 0 else "unavailable",
         "hbm_growth_frac": round(hbm_growth, 4),
         "latency_drift": round(drift, 3),
         "p50_first_s": first["p50_s"],
