@@ -241,6 +241,9 @@ class IndexTTS2Engine:
         # prefix-KV reuse: conds-section KV per (speaker, emotion) key
         # (reference: accel/kv_manager.py:106-198 cross-request block reuse)
         self._cond_kv_cache: Dict[tuple, tuple] = {}
+        # (emovec, conds_latent) per conditioning key — skips two program
+        # dispatches per segment for keyable (fixed-speaker) serving
+        self._emoconds_cache: Dict[tuple, tuple] = {}
         # text-prefix KV reuse: [conds][start][text[:m]] KV per
         # (cond_key, m, sha256(text[:m])) at TEXT_PREFIX_GRAN granularity
         # (reference: chained block hashes, kv_manager.py:106-115)
@@ -523,23 +526,40 @@ class IndexTTS2Engine:
         max_new = max_mel_tokens or rt.max_mel_tokens
         t0 = time.perf_counter()
 
-        # emotion vector
-        emovec = self._emovec_program(
-            self.p_gpt,
-            spk.spk_cond_emb,
-            emo.emo_cond_emb,
-            jnp.asarray([spk.cond_len]),
-            jnp.asarray([emo.cond_len]),
-            jnp.asarray(emo_alpha, jnp.float32),
+        # (emovec, conds) are a pure function of the conditioning key; for
+        # keyable inputs (fixed-speaker serving) skip the two per-segment
+        # program dispatches — through a tunneled TPU each dispatch has
+        # fixed round-trip cost even when the compute is trivial
+        cached = (
+            self._emoconds_cache.get(cond_kv_key)
+            if cond_kv_key is not None
+            else None
         )
-        if emo_vector is not None:
-            mat_vec = self._emovec_from_matrix(emo_vector, spk.style, use_random)
-            # project through emovec_layer+emo_layer happens inside matrix bank
-            # already (feat2.pt rows are post-projection vectors); blend:
-            weight_sum = float(np.sum(emo_vector))
-            emovec = jnp.asarray(mat_vec) + (1.0 - weight_sum) * emovec
+        if cached is not None:
+            emovec, conds = cached
+        else:
+            # emotion vector
+            emovec = self._emovec_program(
+                self.p_gpt,
+                spk.spk_cond_emb,
+                emo.emo_cond_emb,
+                jnp.asarray([spk.cond_len]),
+                jnp.asarray([emo.cond_len]),
+                jnp.asarray(emo_alpha, jnp.float32),
+            )
+            if emo_vector is not None:
+                mat_vec = self._emovec_from_matrix(emo_vector, spk.style, use_random)
+                # project through emovec_layer+emo_layer happens inside matrix
+                # bank already (feat2.pt rows are post-projection vectors);
+                # blend:
+                weight_sum = float(np.sum(emo_vector))
+                emovec = jnp.asarray(mat_vec) + (1.0 - weight_sum) * emovec
 
-        conds = self._build_conds_program(self.p_gpt, spk.spk_latents, emovec)
+            conds = self._build_conds_program(self.p_gpt, spk.spk_latents, emovec)
+            if cond_kv_key is not None:
+                if len(self._emoconds_cache) >= 8:
+                    self._emoconds_cache.pop(next(iter(self._emoconds_cache)))
+                self._emoconds_cache[cond_kv_key] = (emovec, conds)
 
         # text bucket
         n = len(text_ids)

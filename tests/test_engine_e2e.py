@@ -289,3 +289,26 @@ def test_bf16_param_store_dtypes(rng):
         if jnp.issubdtype(l.dtype, jnp.floating)
     }
     assert dts32 == {"float32"}
+
+
+def test_emoconds_cache_keyable_requests(engine, rng, tmp_path):
+    """File-path (keyable) requests cache (emovec, conds) and skip the two
+    per-segment conditioning dispatches on repeats — byte-identical audio
+    with the same seed."""
+    from indextts_tpu.utils.audio import save_wav
+
+    sr = 16000
+    wav = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    p = tmp_path / "spk.wav"
+    save_wav(str(p), wav, sr)
+    text = rng.integers(2, 50, 6)
+
+    engine._emoconds_cache.clear()
+    a = engine.infer(str(p), [text], seed=4)
+    assert len(engine._emoconds_cache) == 1
+    b = engine.infer(str(p), [text], seed=4)
+    np.testing.assert_array_equal(a["audio"], b["audio"])
+    assert len(engine._emoconds_cache) == 1
+    # array-input (unkeyable) requests bypass the cache
+    engine.infer((wav, sr), [text], seed=4)
+    assert len(engine._emoconds_cache) == 1
