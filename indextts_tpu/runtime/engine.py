@@ -1155,6 +1155,7 @@ class IndexTTS2Engine:
         emo_text: Optional[str] = None,
         emo_alpha: float = 1.0,
         emo_vector: Optional[Sequence[float]] = None,
+        quick_streaming_tokens: int = 0,
         **kwargs,
     ):
         """Text-level API: normalize + tokenize + split segments, then infer.
@@ -1179,7 +1180,11 @@ class IndexTTS2Engine:
             emo_alpha = 1.0
         max_seg = max_text_tokens_per_segment or self.cfg.runtime.max_text_tokens_per_segment
         pieces = self.tokenizer.tokenize(text)
-        segments = self.tokenizer.split_segments(pieces, max_seg)
+        # quick_streaming_tokens>0: emit small early segments until that many
+        # tokens are out (first-chunk latency lever; infer_v2.py:573,700)
+        segments = self.tokenizer.split_segments(
+            pieces, max_seg, quick_streaming_tokens=quick_streaming_tokens
+        )
         seg_ids = [
             np.asarray(self.tokenizer.convert_tokens_to_ids(s), np.int32)
             for s in segments

@@ -142,14 +142,23 @@ def main(argv=None):
             for s in segs
         ]
 
-    def _fallback_segments(text):
+    def _fallback_segments(text, quick=0):
         """No tokenizer (random-weights smoke mode): bytes -> ids, split to
-        the same per-segment cap the real tokenizer honors."""
+        the same per-segment cap the real tokenizer honors; quick>0 mirrors
+        quick_streaming_tokens (small first segments until `quick` tokens)."""
         ids = np.frombuffer(text.encode()[:200], dtype=np.uint8).astype(np.int32)
         ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
         cap = max(1, min(engine.cfg.runtime.max_text_tokens_per_segment,
                          engine.cfg.gpt.max_text_tokens))
-        return [ids[i:i + cap] for i in range(0, max(len(ids), 1), cap)]
+        out = []
+        i = 0
+        while True:
+            step = quick if (quick > 0 and i < quick) else cap
+            out.append(ids[i:i + step])
+            i += step
+            if i >= len(ids):
+                break
+        return out
 
     def synth(text="", spk_audio=None, emo_audio=None, emo_alpha=1.0,
               emo_vector=None, seed=None, use_emo_text=False, emo_text=None,
@@ -179,11 +188,19 @@ def main(argv=None):
         return engine.infer(spk, seg_ids, emo_audio=emo_audio,
                             emo_alpha=emo_alpha, emo_vector=emo_vector, seed=seed)
 
+    # streaming first-chunk lever (reference: infer_v2.py:573,700): emit
+    # small early segments until this many tokens are out, then fall back
+    # to the normal per-segment cap; per-request override via the payload's
+    # quick_streaming_tokens field
+    quick_default = int(os.environ.get("TARS_QUICK_STREAMING", "0"))
+
     def synth_stream(text="", spk_audio=None, use_emo_text=False,
-                     emo_text=None, **kw):
+                     emo_text=None, quick_streaming_tokens=None, **kw):
         spk = spk_audio or default_prompt
         if spk is None:
             raise ValueError("no speaker prompt: pass spk_audio or set TARS_REFERENCE_AUDIO")
+        qs = (quick_default if quick_streaming_tokens is None
+              else int(quick_streaming_tokens))
         emo_vector = _emo_kwargs(
             text, use_emo_text, emo_text, kw.get("emo_vector")
         )
@@ -192,12 +209,13 @@ def main(argv=None):
         if engine.tokenizer is not None:
             pieces = engine.tokenizer.tokenize(text)
             segs = engine.tokenizer.split_segments(
-                pieces, engine.cfg.runtime.max_text_tokens_per_segment
+                pieces, engine.cfg.runtime.max_text_tokens_per_segment,
+                quick_streaming_tokens=qs,
             )
             seg_ids = [np.asarray(engine.tokenizer.convert_tokens_to_ids(s), np.int32)
                        for s in segs]
         else:
-            seg_ids = _fallback_segments(text)
+            seg_ids = _fallback_segments(text, quick=qs)
         skw = {
             k: v for k, v in kw.items()
             if k in ("emo_audio", "emo_alpha", "emo_vector", "seed")

@@ -312,3 +312,27 @@ def test_emoconds_cache_keyable_requests(engine, rng, tmp_path):
     # array-input (unkeyable) requests bypass the cache
     engine.infer((wav, sr), [text], seed=4)
     assert len(engine._emoconds_cache) == 1
+
+
+def test_infer_text_quick_streaming_passthrough(engine, rng, monkeypatch):
+    """infer_text forwards quick_streaming_tokens to the segment splitter
+    (streaming first-chunk lever, infer_v2.py:573,700)."""
+    seen = {}
+
+    class FakeTok:
+        def tokenize(self, text):
+            return list(text)
+
+        def split_segments(self, pieces, max_seg, quick_streaming_tokens=0):
+            seen["quick"] = quick_streaming_tokens
+            return [pieces[:4]]
+
+        def convert_tokens_to_ids(self, toks):
+            return [2 + (ord(t) % 40) for t in toks]
+
+    monkeypatch.setattr(engine, "tokenizer", FakeTok())
+    sr = 16000
+    prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    engine.infer_text((prompt, sr), "quick streaming", seed=1,
+                      quick_streaming_tokens=7)
+    assert seen["quick"] == 7

@@ -140,3 +140,32 @@ def test_tokenizer_end_to_end():
 
     ids = tok.convert_tokens_to_ids(pieces)
     assert all(isinstance(i, int) for i in ids)
+
+
+def test_split_segments_quick_streaming_parity():
+    """quick_streaming_tokens (small early segments for streaming TTFB,
+    infer_v2.py:573,700): decision-for-decision parity with the reference
+    splitter across token shapes and quick values."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from reference_compat import import_reference
+
+    front = import_reference("indextts.utils.front")
+    ref_split = front.TextTokenizer.split_segments_by_token
+
+    cases = [
+        ["a", "b", "▁.", "c", "d", "e", "▁.", "f", "g", "▁.", "h"] * 3,
+        ["x"] * 25,
+        ["a", "▁.", "b", "▁.", "c", "▁."] * 8,
+        ["w"] * 3 + ["▁."] + ["y"] * 7 + ["▁."] + ["z"] * 40,
+    ]
+    for toks in cases:
+        for quick in (0, 2, 5, 12):
+            for cap in (4, 10, 120):
+                want = ref_split(toks, PUNCTUATION_MARKS_TOKENS, cap,
+                                 quick_streaming_tokens=quick)
+                got = split_segments_by_token(toks, PUNCTUATION_MARKS_TOKENS,
+                                              cap, quick_streaming_tokens=quick)
+                assert got == want, (toks[:8], quick, cap)
