@@ -783,10 +783,11 @@ class GPTDecoder:
             beam_scores0, penal0, fin_scores0, fin_codes0, fin_lens0, key,
         )
         # phased beam decode (same grid semantics as the sampling loop):
-        # each phase's attention reads AND cache reorders are statically
-        # bounded to the growing valid prefix; token-identical to the
-        # monolithic loop (positions >= the valid length are masked in both,
-        # and the reorder restriction is exact — see reorder_token_region)
+        # each phase's ATTENTION READS are statically bounded to the growing
+        # valid prefix (the cache reorder stays the full-cap gather — see
+        # the measured-revert note at the gather site); token-identical to
+        # the monolithic loop (positions >= the valid length are masked in
+        # both)
         G = self.PHASE
         attn_impl = getattr(model, "attn_impl", "xla")
         if (G > 0 and attn_impl in ("xla", "xla_bucketed")

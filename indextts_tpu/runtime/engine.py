@@ -37,6 +37,17 @@ from indextts_tpu.runtime.s2mel_infer import cfm_inference, length_regulate, pro
 from indextts_tpu.utils import audio as audio_utils
 
 
+def evict_one(cache: Dict) -> None:
+    """Drop one (oldest-inserted) entry from a bounded cache. Concurrent
+    server threads can race here (TTSServer runs synth in a thread pool):
+    both may pick the same victim or iterate a mutating dict — tolerate
+    both instead of failing the in-flight request."""
+    try:
+        cache.pop(next(iter(cache)), None)
+    except (StopIteration, RuntimeError):
+        pass
+
+
 def next_bucket(n: int, step: int, minimum: int = 0) -> int:
     return max(minimum, step * (-(-n // step)))
 
@@ -558,7 +569,7 @@ class IndexTTS2Engine:
             conds = self._build_conds_program(self.p_gpt, spk.spk_latents, emovec)
             if cond_kv_key is not None:
                 if len(self._emoconds_cache) >= 8:
-                    self._emoconds_cache.pop(next(iter(self._emoconds_cache)))
+                    evict_one(self._emoconds_cache)
                 self._emoconds_cache[cond_kv_key] = (emovec, conds)
 
         # text bucket
@@ -605,7 +616,7 @@ class IndexTTS2Engine:
                     {"params": self.p_gpt}, conds
                 )
                 if len(self._cond_kv_cache) >= 8:  # bounded (serving)
-                    self._cond_kv_cache.pop(next(iter(self._cond_kv_cache)))
+                    evict_one(self._cond_kv_cache)
                 self._cond_kv_cache[cond_kv_key] = cond_kv
         if nb > 1:
             res = self.decoder.generate_beam(
@@ -1139,7 +1150,7 @@ class IndexTTS2Engine:
             {"params": self.p_gpt}, conds, text[:m_max]
         )
         if len(self._text_prefix_cache) >= 8:  # bounded (~16 MB/entry)
-            self._text_prefix_cache.pop(next(iter(self._text_prefix_cache)))
+            evict_one(self._text_prefix_cache)
         self._text_prefix_cache[
             (cond_kv_key, m_max,
              hashlib.sha256(text[:m_max].tobytes()).hexdigest())

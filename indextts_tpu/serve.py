@@ -153,7 +153,9 @@ def main(argv=None):
         out = []
         i = 0
         while True:
-            step = quick if (quick > 0 and i < quick) else cap
+            # quick never EXCEEDS the per-segment cap (the real tokenizer
+            # honors the cap regardless; quick only makes segments smaller)
+            step = min(quick, cap) if (quick > 0 and i < quick) else cap
             out.append(ids[i:i + step])
             i += step
             if i >= len(ids):

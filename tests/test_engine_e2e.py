@@ -191,7 +191,7 @@ def test_use_emo_text_drives_matrix_blend(engine, rng):
         def tokenize(self, text):
             return list(text)
 
-        def split_segments(self, pieces, max_seg):
+        def split_segments(self, pieces, max_seg, quick_streaming_tokens=0):
             return [pieces[:5]]
 
         def convert_tokens_to_ids(self, toks):
@@ -229,7 +229,7 @@ def test_use_emo_text_without_qwen_raises(engine):
         def tokenize(self, text):
             return list(text)
 
-        def split_segments(self, pieces, max_seg):
+        def split_segments(self, pieces, max_seg, quick_streaming_tokens=0):
             return [pieces[:4]]
 
         def convert_tokens_to_ids(self, toks):

@@ -50,11 +50,15 @@ def client_worker(port, cid, n_requests, results, texts, repeat_prefix,
         # segments>1 tiles the sentence so the server's splitter yields that
         # many segments — separating streaming first-chunk time from total
         base = texts[(cid + r) % len(texts)]
-        text = (base * ((segments * 110) // len(base) + 1))[:segments * 110]
         if repeat_prefix:
-            # fixed-width unique tail: every request byte-tokenizes to the
-            # same length, so the warm pass covers the timed shapes exactly
-            text = texts[0][:90] + f" v {cid % 100:02d}-{r % 100:02d}"
+            # every request shares one long template head, tiled to the
+            # requested segment count, with a fixed-width unique tail (so
+            # each request byte-tokenizes to the same length and the warm
+            # pass covers the timed shapes exactly)
+            head = (texts[0] * ((segments * 110) // len(texts[0]) + 1))
+            text = head[:segments * 110 - 12] + f" v {cid % 100:02d}-{r % 100:02d}"
+        else:
+            text = (base * ((segments * 110) // len(base) + 1))[:segments * 110]
         # seed_base separates the stream/blocking passes' payloads so the
         # sha256 response cache never shortcuts the second pass
         payload = json.dumps(
@@ -129,10 +133,14 @@ def main():
     os.environ.setdefault("TARS_GPT_QUANTIZE", "1")
     os.environ.setdefault("TARS_PRECOMPILE", "0")
     os.environ.setdefault("TARS_WARMUP", "1")
-    # per-mode response cache: the sequential and continuous runs use the
-    # SAME payloads, so a shared cache dir would serve the second mode's
+    # fresh response-cache dir per run: payloads are deterministic, so ANY
+    # persisted cache (across modes or across campaigns) would serve the
     # blocking pass from disk and publish ~ms totals (r4 artifact bug)
-    os.environ["TARS_CACHE_DIR"] = f"/tmp/tars_bench_cache_{args.mode}"
+    import tempfile
+
+    os.environ["TARS_CACHE_DIR"] = tempfile.mkdtemp(
+        prefix=f"tars_bench_cache_{args.mode}_"
+    )
     os.environ.setdefault(
         "JAX_COMPILE_CACHE", "/tmp/indextts_tpu_jax_cache_random"
     )

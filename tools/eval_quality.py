@@ -258,6 +258,11 @@ def evaluate(
     rows = []
     tot_err = tot_ref = 0
     spk_sims, emo_sims = [], []
+    # per-prompt caches: a shared --spk-audio prompt otherwise recomputes
+    # its CAMPPlus style (and neutral-mode emovec — a full w2v-BERT
+    # forward) once per case; each is a constant of the prompt path
+    prompt_cache: Dict[str, tuple] = {}
+    prompt_emo_cache: Dict[str, np.ndarray] = {}
     for i, case in enumerate(cases):
         spk = case.get("spk_audio") or spk_audio
         if spk is None:
@@ -277,8 +282,16 @@ def evaluate(
         tot_err += err
         tot_ref += n_ref
 
-        prompt_wav, prompt_sr = audio_utils.load_wav(spk) if isinstance(spk, str) else spk
-        prompt_style = campplus_style(engine, prompt_wav, prompt_sr)
+        cache_key = spk if isinstance(spk, str) else None
+        if cache_key is not None and cache_key in prompt_cache:
+            prompt_wav, prompt_sr, prompt_style = prompt_cache[cache_key]
+        else:
+            prompt_wav, prompt_sr = (
+                audio_utils.load_wav(spk) if isinstance(spk, str) else spk
+            )
+            prompt_style = campplus_style(engine, prompt_wav, prompt_sr)
+            if cache_key is not None:
+                prompt_cache[cache_key] = (prompt_wav, prompt_sr, prompt_style)
         synth_style = campplus_style(engine, wav, out_sr)
         s_sim = cosine(prompt_style, synth_style)
         spk_sims.append(s_sim)
@@ -294,7 +307,12 @@ def evaluate(
             )
             emo_mode = "vector"
         else:
-            target_emo = emovec_of(engine, prompt_wav, prompt_sr)
+            if cache_key is not None and cache_key in prompt_emo_cache:
+                target_emo = prompt_emo_cache[cache_key]
+            else:
+                target_emo = emovec_of(engine, prompt_wav, prompt_sr)
+                if cache_key is not None:
+                    prompt_emo_cache[cache_key] = target_emo
             emo_mode = "neutral"
         e_sim = cosine(emovec_of(engine, wav, out_sr), target_emo)
         emo_sims.append(e_sim)

@@ -245,6 +245,11 @@ def _save(ckpt_dir: Path, params, opt_state, step: int) -> None:
 
     from indextts_tpu.runtime.loader import _orbax_save
 
+    # multi-host: one writer (params/opt_state are identical across
+    # processes after device_get); concurrent Orbax saves to the same
+    # directory race on the atomic-rename protocol
+    if jax.process_index() != 0:
+        return
     tgt = ckpt_dir / "latest"
     host_params = jax.tree_util.tree_map(lambda x: jax.device_get(x), params)
     host_opt = jax.tree_util.tree_map(lambda x: jax.device_get(x), opt_state)

@@ -134,9 +134,10 @@ def main(argv=None):
 
     from indextts_tpu.utils.obs import get_hbm_usage
 
-    # warm every rotated shape once before the measured waves
+    # warm every rotated shape once before the measured waves; seeds live in
+    # a space no wave can reach (wave seeds stay < waves*10_000 + 100*clients)
     for i, t in enumerate(texts):
-        one_request(args.port, t[:100], 10_000 + i)
+        one_request(args.port, t[:100], 1_000_000_000 + i)
 
     per_wave = max(1, args.requests // args.waves)
     waves = []
