@@ -40,7 +40,7 @@ def pct(xs, p):
 
 
 def client_worker(port, cid, n_requests, results, texts, repeat_prefix,
-                  endpoint="/tts/stream", segments=1, seed_base=0):
+                  endpoint="/tts/stream", segments=1, seed_base=0, quick=0):
     for r in range(n_requests):
         # repeated-prefix workload: every request shares the template head,
         # unique tail + seed (exercises text-prefix KV reuse when enabled
@@ -61,9 +61,10 @@ def client_worker(port, cid, n_requests, results, texts, repeat_prefix,
             text = (base * ((segments * 110) // len(base) + 1))[:segments * 110]
         # seed_base separates the stream/blocking passes' payloads so the
         # sha256 response cache never shortcuts the second pass
-        payload = json.dumps(
-            {"text": text, "seed": seed_base + 1000 * cid + r}
-        ).encode()
+        body = {"text": text, "seed": seed_base + 1000 * cid + r}
+        if quick and endpoint == "/tts/stream":
+            body["quick_streaming_tokens"] = quick
+        payload = json.dumps(body).encode()
         t0 = time.perf_counter()
         ttfb = None
         nbytes = 0
@@ -119,6 +120,10 @@ def main():
     ap.add_argument("--blocking-pass", action="store_true",
                     help="also time a POST /tts pass for the streaming-vs-"
                          "blocking TTFB comparison")
+    ap.add_argument("--quick", type=int, default=0,
+                    help="also time a streaming pass with "
+                         "quick_streaming_tokens=N (small early segments; "
+                         "first-chunk latency lever)")
     args = ap.parse_args()
 
     # env contract for serve.main (read there): continuous slots + request
@@ -198,14 +203,15 @@ def main():
         "available representative who can handle your billing request. " * 2,
     ]
 
-    def timed_pass(endpoint, seed_base=0):
+    def timed_pass(endpoint, seed_base=0, quick=0):
         results: list = []
         t0 = time.perf_counter()
         threads = [
             threading.Thread(
                 target=client_worker,
                 args=(args.port, c, args.requests, results, texts,
-                      args.repeat_prefix, endpoint, args.segments, seed_base),
+                      args.repeat_prefix, endpoint, args.segments, seed_base,
+                      quick),
             )
             for c in range(args.clients)
         ]
@@ -258,6 +264,16 @@ def main():
             out["stream_ttfb_vs_blocking_total"] = round(
                 out["ttfb_p50_s"] / out["blocking"]["total_p50_s"], 3
             )
+    if args.quick:
+        # warm the quick segmentation shapes once, then time
+        warm_q: list = []
+        client_worker(args.port, 97, 1, warm_q, texts, args.repeat_prefix,
+                      segments=args.segments, seed_base=700000,
+                      quick=args.quick)
+        out["quick_stream"] = {
+            "quick_streaming_tokens": args.quick,
+            **timed_pass("/tts/stream", seed_base=800000, quick=args.quick),
+        }
     print(json.dumps(out))
 
 
