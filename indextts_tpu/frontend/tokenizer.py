@@ -301,3 +301,14 @@ class TextTokenizer:
             max_text_tokens_per_segment,
             quick_streaming_tokens,
         )
+
+
+def byte_fallback_ids(text: str, number_text_tokens: int, max_bytes: int = 400):
+    """Tokenizer-less pseudo-ids (random-weights smoke paths): UTF-8 bytes
+    mapped into the text vocab's content range [2, vocab). One shared
+    definition so the server, benchmarks and the eval harness segment the
+    same text identically."""
+    import numpy as np
+
+    ids = np.frombuffer(text.encode()[:max_bytes], dtype=np.uint8).astype(np.int32)
+    return ids % max(2, number_text_tokens - 2) + 2

@@ -146,8 +146,10 @@ def main(argv=None):
         """No tokenizer (random-weights smoke mode): bytes -> ids, split to
         the same per-segment cap the real tokenizer honors; quick>0 mirrors
         quick_streaming_tokens (small first segments until `quick` tokens)."""
-        ids = np.frombuffer(text.encode()[:200], dtype=np.uint8).astype(np.int32)
-        ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
+        from indextts_tpu.frontend.tokenizer import byte_fallback_ids
+
+        ids = byte_fallback_ids(text, engine.cfg.gpt.number_text_tokens,
+                                max_bytes=200)
         cap = max(1, min(engine.cfg.runtime.max_text_tokens_per_segment,
                          engine.cfg.gpt.max_text_tokens))
         out = []

@@ -59,8 +59,9 @@ def main(argv=None):
         if engine.tokenizer is not None:
             out = engine.infer_text(spk, text, seed=args.seed + i, **kwargs)
         else:
-            ids = np.frombuffer(text.encode()[:400], dtype=np.uint8).astype(np.int32)
-            ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
+            from indextts_tpu.frontend.tokenizer import byte_fallback_ids
+
+            ids = byte_fallback_ids(text, engine.cfg.gpt.number_text_tokens)
             out = engine.infer(spk, [ids], seed=args.seed + i, **kwargs)
         gen_time = time.perf_counter() - t0
         hbm = get_hbm_usage()

@@ -233,10 +233,11 @@ def _synthesize(engine, case: Dict, spk: str, seed: int,
     text = case["text"]
     if engine.tokenizer is not None:
         return engine.infer_text(spk, text, seed=seed, **kwargs)
-    # tokenizer-less engines (tiny test configs): byte-hash pseudo-tokens,
-    # same convention as tools/benchmark_infer.py
-    ids = np.frombuffer(text.encode()[:400], dtype=np.uint8).astype(np.int32)
-    ids = ids % max(2, engine.cfg.gpt.number_text_tokens - 2) + 2
+    # tokenizer-less engines (tiny test configs): shared byte-hash
+    # pseudo-tokens (frontend.tokenizer.byte_fallback_ids)
+    from indextts_tpu.frontend.tokenizer import byte_fallback_ids
+
+    ids = byte_fallback_ids(text, engine.cfg.gpt.number_text_tokens)
     return engine.infer(spk, [ids], seed=seed, **kwargs)
 
 

@@ -130,7 +130,7 @@ def main(argv=None):
         shard_params,
     )
     from indextts_tpu.runtime import train as T
-    from indextts_tpu.runtime.loader import _orbax_restore, _orbax_save
+    from indextts_tpu.runtime.loader import _orbax_restore
 
     cfg = load_config(args.cfg)
     mesh = global_mesh(model=args.model_parallel)
