@@ -169,3 +169,17 @@ def test_split_segments_quick_streaming_parity():
                 got = split_segments_by_token(toks, PUNCTUATION_MARKS_TOKENS,
                                               cap, quick_streaming_tokens=quick)
                 assert got == want, (toks[:8], quick, cap)
+
+
+def test_byte_fallback_ids_shared_helper():
+    """byte_fallback_ids: deterministic, in-vocab, byte-capped — the one
+    definition behind the server's, benchmarks' and eval harness's
+    tokenizer-less paths."""
+    from indextts_tpu.frontend.tokenizer import byte_fallback_ids
+
+    ids = byte_fallback_ids("hello world", 50)
+    assert ids.dtype.kind == "i" and len(ids) == 11
+    assert (ids >= 2).all() and (ids < 50).all()
+    # identical text -> identical ids; byte cap honored
+    assert (byte_fallback_ids("hello world", 50) == ids).all()
+    assert len(byte_fallback_ids("x" * 1000, 50, max_bytes=200)) == 200
