@@ -226,6 +226,15 @@ class ContinuousService:
     loop (requests from different clients batch dynamically), and the cascade
     tail (latent -> s2mel -> vocoder) runs per request as it completes.
     Enable in serving with TARS_CONTINUOUS_SLOTS>1.
+
+    tail_workers>0 offloads the cascade tail to a small thread pool so the
+    decode loop keeps dispatching chunks while a finished segment's tail
+    computes: the tail ends in a blocking PCM d2h (engine._finish_from_codes'
+    np.asarray(wav)), and running it inline stalls the shared AR loop — the
+    device pipeline drains once per completed segment, which is what made
+    continuous mode LOSE to threaded-sequential at multi-segment workloads
+    (BENCH_SERVER_r04: 6.92 vs 11.75 aggregate audio-sec/s). 0 = inline
+    (legacy). Serving env: TARS_CONTINUOUS_TAIL_WORKERS.
     """
 
     def __init__(
@@ -236,6 +245,7 @@ class ContinuousService:
         max_new: Optional[int] = None,
         chunk_steps: int = 32,
         seed: int = 0,
+        tail_workers: int = 0,
     ):
         import threading
         from concurrent.futures import Future
@@ -271,6 +281,13 @@ class ContinuousService:
             seed=seed,
         )
         self._Future = Future
+        self._tail_pool = None
+        if tail_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._tail_pool = ThreadPoolExecutor(
+                max_workers=tail_workers, thread_name_prefix="tars-tail"
+            )
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._incoming: List[tuple] = []
@@ -353,20 +370,31 @@ class ContinuousService:
             done, self.bat.completed = self.bat.completed, []
             for c in done:
                 fut = self._futures.pop(c.req_id, None)
-                spk, emovec, text_ids, seed, t0 = self._meta.pop(c.req_id)
+                meta = self._meta.pop(c.req_id)
                 if fut is None or fut.cancelled():
                     continue
-                try:
-                    res = self.engine._finish_from_codes(
-                        spk, emovec, text_ids, c.codes, seed,
-                        time.perf_counter() - t0,
-                    )
-                    fut.set_result(res)
-                except Exception as e:  # surface cascade errors to the caller
-                    fut.set_exception(e)
+                if self._tail_pool is not None:
+                    # decode loop moves straight on to the next admit+chunk;
+                    # the tail (and its blocking PCM d2h) runs concurrently
+                    self._tail_pool.submit(self._finish_one, c, meta, fut)
+                else:
+                    self._finish_one(c, meta, fut)
+
+    def _finish_one(self, c, meta, fut):
+        spk, emovec, text_ids, seed, t0 = meta
+        try:
+            res = self.engine._finish_from_codes(
+                spk, emovec, text_ids, c.codes, seed,
+                time.perf_counter() - t0,
+            )
+            fut.set_result(res)
+        except Exception as e:  # surface cascade errors to the caller
+            fut.set_exception(e)
 
     def shutdown(self):
         with self._cv:
             self._running = False
             self._cv.notify_all()
         self._thread.join(timeout=5)
+        if self._tail_pool is not None:
+            self._tail_pool.shutdown(wait=True)

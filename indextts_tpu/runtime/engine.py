@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, Generator, List, Optional, Sequence, Tuple, Union
@@ -261,6 +262,10 @@ class IndexTTS2Engine:
         self._text_prefix_cache: Dict[tuple, tuple] = {}
         self._emo_cache: Dict[str, EmotionConditioning] = {}
         self._rng = jax.random.PRNGKey(0)
+        # seedless requests split this stream; serving calls the engine from
+        # several threads (HTTP workers, continuous-batcher tail pool), and an
+        # unguarded split would hand two segments the same key
+        self._rng_lock = threading.Lock()
 
         # jitted programs --------------------------------------------------
         self._w2v_program = jax.jit(self._w2v_features)
@@ -593,7 +598,8 @@ class IndexTTS2Engine:
         if seed is not None:
             key = jax.random.PRNGKey(seed)
         else:
-            self._rng, key = jax.random.split(self._rng)
+            with self._rng_lock:
+                self._rng, key = jax.random.split(self._rng)
 
         # route by (do_sample, num_beams) exactly like the reference HF path
         # (infer_v2.py:714-776): num_beams>1 -> beam search (multinomial when
@@ -731,7 +737,8 @@ class IndexTTS2Engine:
         if seed is not None:
             nkey = jax.random.PRNGKey(seed + 1)
         else:
-            self._rng, nkey = jax.random.split(self._rng)
+            with self._rng_lock:
+                self._rng, nkey = jax.random.split(self._rng)
         if getattr(self, "_noise_hook", None) is not None:
             # test/parity hook: inject externally-generated CFM noise (e.g.
             # the reference's torch.randn draw, flow_matching.py:52)
@@ -858,7 +865,8 @@ class IndexTTS2Engine:
         if seed is not None:
             key = jax.random.PRNGKey(seed)
         else:
-            self._rng, key = jax.random.split(self._rng)
+            with self._rng_lock:
+                self._rng, key = jax.random.split(self._rng)
         # per-stage wall clocks; only meaningful with TARS_STAGE_SYNC=1 (each
         # stage then synchronizes before the next timestamp — profiling mode;
         # default leaves dispatch async and the table shows dispatch skew)
@@ -928,7 +936,8 @@ class IndexTTS2Engine:
         if seed is not None:
             nkey = jax.random.PRNGKey(seed + 1)
         else:
-            self._rng, nkey = jax.random.split(self._rng)
+            with self._rng_lock:
+                self._rng, nkey = jax.random.split(self._rng)
         noise_len = spk.ref_mel_len + next_bucket(int(target_exact.max()), 128, 128)
         noise = jax.random.normal(
             nkey, (B, self.cfg.s2mel.dit.in_channels, noise_len), jnp.float32

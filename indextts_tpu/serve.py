@@ -129,6 +129,12 @@ def main(argv=None):
             n_slots=cont_slots,
             text_bucket=engine.cfg.runtime.max_text_tokens_per_segment,
             chunk_steps=int(os.environ.get("TARS_CONTINUOUS_CHUNK", "32")),
+            # cascade tails run off the decode thread so a finished segment's
+            # blocking PCM d2h doesn't stall the shared AR loop (see
+            # ContinuousService docstring for the measured rationale)
+            tail_workers=int(
+                os.environ.get("TARS_CONTINUOUS_TAIL_WORKERS", "0")
+            ),
         )
         print_stage(f"Continuous batching: {cont_slots} slots", "complete")
 

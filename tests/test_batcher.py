@@ -183,12 +183,16 @@ def test_batcher_rejects_oversize_text():
         bat.submit(jnp.zeros((1, 34, 64)), np.arange(9))
 
 
-@pytest.mark.parametrize("kv_quant", [False, True])
-def test_continuous_service_end_to_end(kv_quant):
+@pytest.mark.parametrize("kv_quant,tail_workers", [
+    (False, 0), (True, 0), (False, 2),
+])
+def test_continuous_service_end_to_end(kv_quant, tail_workers):
     """ContinuousService: concurrent segment futures produce the same audio
     as sequential synthesize_segment (greedy, same seed noise). Under
     kv_quant the service decodes over the int8 cache (quantize-on-insert) —
-    same stream as the sequential path, so audio still matches exactly."""
+    same stream as the sequential path, so audio still matches exactly.
+    tail_workers=2 runs the cascade tails off the decode thread (the serving
+    default) — results must be identical to the inline tail."""
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, str(Path(__file__).parent))
     from test_engine_e2e import tiny_config
@@ -222,7 +226,7 @@ def test_continuous_service_end_to_end(kv_quant):
     ]
 
     svc = ContinuousService(engine, n_slots=2, text_bucket=16, max_new=24,
-                            chunk_steps=4)
+                            chunk_steps=4, tail_workers=tail_workers)
     try:
         futs = [svc.submit(spk, emo, s, seed=7) for s in segs]
         got = [f.result(timeout=120) for f in futs]
