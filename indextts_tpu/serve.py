@@ -133,7 +133,7 @@ def main(argv=None):
             # blocking PCM d2h doesn't stall the shared AR loop (see
             # ContinuousService docstring for the measured rationale)
             tail_workers=int(
-                os.environ.get("TARS_CONTINUOUS_TAIL_WORKERS", "0")
+                os.environ.get("TARS_CONTINUOUS_TAIL_WORKERS", "2")
             ),
         )
         print_stage(f"Continuous batching: {cont_slots} slots", "complete")
