@@ -31,6 +31,7 @@ class _Pending:
     conds: Any          # (1, P, D)
     text_ids: np.ndarray
     enqueued_at: float
+    priority: int = 0   # lower admits first (ties: arrival order)
 
 
 @dataclasses.dataclass
@@ -106,8 +107,15 @@ class ContinuousBatcher:
 
     # -- request intake -----------------------------------------------------
 
-    def submit(self, conds, text_ids: np.ndarray) -> int:
-        """Queue one request (conds (1, P, D) latents, raw text ids)."""
+    def submit(self, conds, text_ids: np.ndarray, priority: int = 0) -> int:
+        """Queue one request (conds (1, P, D) latents, raw text ids).
+
+        priority orders ADMISSION only (lower first, FIFO within a level):
+        multi-segment callers pass the segment index so every request's
+        first segment is admitted before any request's later segments —
+        breadth-first across requests, which is what streaming TTFB sees
+        (depth-first admission let one request's tail segments hold slots
+        while another request had produced no audio at all)."""
         if len(text_ids) > self.bucket:
             raise ValueError(
                 f"text length {len(text_ids)} exceeds bucket {self.bucket}"
@@ -115,7 +123,8 @@ class ContinuousBatcher:
         rid = self._next_id
         self._next_id += 1
         self._queue.append(
-            _Pending(rid, conds, np.asarray(text_ids, np.int32), time.perf_counter())
+            _Pending(rid, conds, np.asarray(text_ids, np.int32),
+                     time.perf_counter(), priority=int(priority))
         )
         return rid
 
@@ -124,6 +133,9 @@ class ContinuousBatcher:
     def _admit(self):
         st = self.state
         free = np.flatnonzero(~np.asarray(st["active"]))
+        if len(free) and len(self._queue) > 1:
+            # stable: FIFO within a priority level
+            self._queue.sort(key=lambda p: (p.priority, p.req_id))
         for slot in free:
             if not self._queue:
                 break
@@ -299,8 +311,11 @@ class ContinuousService:
         self._thread.start()
 
     def submit(self, spk, emo, text_ids, emo_alpha: float = 1.0,
-               emo_vector=None, seed: Optional[int] = None):
-        """Queue one segment; returns a Future[SegmentResult]."""
+               emo_vector=None, seed: Optional[int] = None,
+               priority: int = 0):
+        """Queue one segment; returns a Future[SegmentResult]. priority is
+        the caller's segment index (breadth-first admission across
+        requests — see ContinuousBatcher.submit)."""
         eng = self.engine
         emovec = eng._emovec_program(
             eng.p_gpt, spk.spk_cond_emb, emo.emo_cond_emb,
@@ -316,7 +331,7 @@ class ContinuousService:
         with self._cv:
             self._incoming.append(
                 (conds, np.asarray(text_ids, np.int32), spk, emovec, seed, fut,
-                 time.perf_counter())
+                 time.perf_counter(), int(priority))
             )
             self._cv.notify()
         return fut
@@ -347,9 +362,9 @@ class ContinuousService:
                     return
                 moved = self._incoming
                 self._incoming = []
-            for conds, text_ids, spk, emovec, seed, fut, t0 in moved:
+            for conds, text_ids, spk, emovec, seed, fut, t0, prio in moved:
                 try:
-                    rid = self.bat.submit(conds, text_ids)
+                    rid = self.bat.submit(conds, text_ids, priority=prio)
                 except ValueError as e:
                     fut.set_exception(e)
                     continue

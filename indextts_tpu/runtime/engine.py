@@ -1318,6 +1318,8 @@ class IndexTTS2Engine:
                 spk, emo, np.asarray(seg), emo_alpha=emo_alpha,
                 emo_vector=emo_vector,
                 seed=None if seed is None else seed + i,
+                priority=i,  # breadth-first admission: every request's first
+                             # segment beats any request's later segments
             )
             for i, seg in enumerate(text_ids_segments)
         ]
@@ -1465,6 +1467,7 @@ class IndexTTS2Engine:
                 spk, emo, np.asarray(seg), emo_alpha=emo_alpha,
                 emo_vector=emo_vector,
                 seed=None if seed is None else seed + i,
+                priority=i,
             )
             for i, seg in enumerate(text_ids_segments)
         ]

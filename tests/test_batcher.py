@@ -174,6 +174,54 @@ def test_batcher_phased_prefix_limit_matches(rng):
         np.testing.assert_array_equal(c.codes, w)
 
 
+def test_batcher_priority_admission(rng):
+    """Breadth-first admission: with every slot contended, priority-0
+    submissions (requests' FIRST segments) are admitted before priority-1
+    ones that arrived earlier, FIFO within a level — and every request
+    still completes with the same codes as its individual decode."""
+    model = UnifiedVoice(CFG, attn_impl="xla")
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
+    params = _params(model)
+    bucket, max_new = 8, 12
+
+    reqs = []
+    for i in range(6):
+        conds = jnp.asarray(
+            np.random.default_rng(300 + i).standard_normal((1, 34, 64)),
+            jnp.float32,
+        )
+        text = np.random.default_rng(400 + i).integers(2, 50, 3 + (i % 3))
+        reqs.append((conds, text))
+
+    bat = ContinuousBatcher(
+        dec, params, n_slots=2, text_bucket=bucket, max_new=max_new,
+        chunk_steps=4,
+    )
+    # interleaved submission: (reqA seg0, seg1, seg2), (reqB seg0, seg1,
+    # seg2) — depth-first arrival order, breadth-first priorities
+    prios = [0, 1, 2, 0, 1, 2]
+    ids = [bat.submit(c, t, priority=p) for (c, t), p in zip(reqs, prios)]
+    # first admission wave (2 slots): the two priority-0 segments win even
+    # though ids[1]/ids[2] arrived before ids[3]
+    bat._admit()
+    admitted = sorted(p.req_id for p in bat._slot_req if p is not None)
+    assert admitted == [ids[0], ids[3]]
+    done = bat.run()
+    assert sorted(c.req_id for c in done) == sorted(ids)
+    # codes unaffected by admission order: compare vs individual decodes
+    by_id = {c.req_id: c.codes for c in done}
+    for rid, (conds, text) in zip(ids, reqs):
+        p_ids, pos, valid = dec.build_text_prompt_arrays(
+            text[None], np.asarray([len(text)]), bucket
+        )
+        r = dec.generate(
+            params, conds, jnp.asarray(p_ids), jnp.asarray(pos),
+            jnp.asarray(valid), jax.random.PRNGKey(0), max_new=max_new,
+        )
+        n = int(np.asarray(r.lengths)[0])
+        np.testing.assert_array_equal(by_id[rid], np.asarray(r.codes)[0, :n])
+
+
 def test_batcher_rejects_oversize_text():
     model = UnifiedVoice(CFG)
     dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
