@@ -389,6 +389,12 @@ class RuntimeConfig:
     # differ from the right-aligned default in ulp-tie cases — off by
     # default, enable with TARS_PREFIX_REUSE=1.
     text_prefix_reuse: bool = False
+    # pipeline the sequential route's cascade tail: segment k's latent ->
+    # s2mel -> vocoder -> PCM d2h runs on a tail thread while segment k+1
+    # decodes (the same stall the continuous batcher's tail_workers removed
+    # for +16% aggregate, BENCH_TAIL_r04.json). Seeded output is waveform-
+    # identical to the inline path; disable with TARS_SEQ_TAIL_OVERLAP=0.
+    seq_tail_overlap: bool = True
     # static decode-loop bucket sizes (text prompt padded to one of these)
     text_buckets: Tuple[int, ...] = (32, 64, 128)
     # KV cache capacity of the jitted decode program
@@ -418,6 +424,7 @@ class RuntimeConfig:
             voc_dtype=os.environ.get("TARS_VOC_DTYPE", "float32"),
             device_pcm16=_env_flag("TARS_DEVICE_PCM16", True),
             text_prefix_reuse=_env_flag("TARS_PREFIX_REUSE", False),
+            seq_tail_overlap=_env_flag("TARS_SEQ_TAIL_OVERLAP", True),
         )
 
 

@@ -538,6 +538,41 @@ class IndexTTS2Engine:
         length_penalty: Optional[float] = None,
         cond_kv_key: Optional[tuple] = None,
     ) -> SegmentResult:
+        emovec, codes_trimmed, t_gpt_gen = self._decode_segment_codes(
+            spk, emo, text_ids, emo_alpha=emo_alpha, emo_vector=emo_vector,
+            use_random=use_random, max_mel_tokens=max_mel_tokens,
+            temperature=temperature, top_p=top_p, seed=seed,
+            num_beams=num_beams, do_sample=do_sample,
+            length_penalty=length_penalty, cond_kv_key=cond_kv_key,
+        )
+        return self._finish_from_codes(
+            spk, emovec, text_ids, codes_trimmed, seed, t_gpt_gen
+        )
+
+    def _decode_segment_codes(
+        self,
+        spk: SpeakerConditioning,
+        emo: EmotionConditioning,
+        text_ids: np.ndarray,
+        emo_alpha: float = 1.0,
+        emo_vector: Optional[Sequence[float]] = None,
+        use_random: bool = False,
+        max_mel_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+        seed: Optional[int] = None,
+        num_beams: Optional[int] = None,
+        do_sample: Optional[bool] = None,
+        length_penalty: Optional[float] = None,
+        cond_kv_key: Optional[tuple] = None,
+    ) -> Tuple[jnp.ndarray, np.ndarray, float]:
+        """The AR half of synthesize_segment: conditioning merge + GPT decode,
+        ending at the host-materialized trimmed code row. Split out so the
+        sequential serving path can overlap segment k's cascade tail
+        (_finish_from_codes) with segment k+1's decode (see infer_generator) —
+        the same stall the continuous batcher's tail_workers removed
+        (reference analog: the accel engine overlapping host/device work,
+        accel/accel_engine.py:567-607). Returns (emovec, codes, gpt_gen_s)."""
         rt = self.cfg.runtime
         max_new = max_mel_tokens or rt.max_mel_tokens
         t0 = time.perf_counter()
@@ -660,9 +695,7 @@ class IndexTTS2Engine:
         codes_np = np.asarray(res.codes)
         n_codes = int(np.asarray(res.lengths)[0])
         t_gpt_gen = time.perf_counter() - t0
-        return self._finish_from_codes(
-            spk, emovec, text_ids, codes_np[0, :n_codes], seed, t_gpt_gen
-        )
+        return emovec, codes_np[0, :n_codes], t_gpt_gen
 
     def _finish_from_codes(
         self,
@@ -1256,30 +1289,137 @@ class IndexTTS2Engine:
         if isinstance(spk_audio, str):
             audio, sr = audio_utils.load_wav(spk_audio)
             spk = self.prepare_speaker(audio, sr, cache_key=spk_audio)
+            spk_key = spk_audio
         else:
             spk = self.prepare_speaker(*spk_audio)
+            spk_key = None
         if emo_vector is not None:
             emo_audio = None
         if emo_audio is None:
             emo = EmotionConditioning(spk.spk_cond_emb, spk.cond_len)
             emo_alpha = 1.0
+            emo_key = ""
         elif isinstance(emo_audio, str):
             audio, sr = audio_utils.load_wav(emo_audio)
             emo = self.prepare_emotion(audio, sr, cache_key=emo_audio)
+            emo_key = emo_audio
         else:
             emo = self.prepare_emotion(*emo_audio)
+            emo_key = None
+        # same keyable-conditioning reuse as infer(): fixed-speaker serving
+        # streams skip the per-segment emovec/conds dispatches and re-use the
+        # conds-prefix KV across segments and requests
+        cond_kv_key = None
+        if spk_key is not None and emo_key is not None and not use_random:
+            cond_kv_key = (
+                spk_key, emo_key, float(emo_alpha),
+                tuple(emo_vector) if emo_vector is not None else None,
+            )
 
         sr_out = self.cfg.runtime.sampling_rate
         sil = np.zeros(int(sr_out * interval_silence / 1000.0), np.float32)
+        if self._seq_tail_overlap_enabled(len(text_ids_segments)):
+            # pipelined default: segment k's cascade tail (latent -> s2mel ->
+            # vocoder -> blocking PCM d2h, ~0.33 s sync'd of a 0.80 s segment
+            # wall) runs on a tail thread while segment k+1 decodes (~0.47 s)
+            # on the producer thread; waveforms still yield strictly in order.
+            # Seeded requests are waveform-identical to the inline path
+            # (tests/test_engine_e2e.py); seedless requests consume the
+            # engine rng stream in a different (thread-interleaved) order.
+            for r in self._pipelined_segments(
+                spk, emo, text_ids_segments, emo_alpha=emo_alpha,
+                emo_vector=emo_vector, use_random=use_random, seed=seed,
+                cond_kv_key=cond_kv_key, **gen_kwargs,
+            ):
+                yield r.wav
+                if interval_silence > 0:
+                    yield sil
+            return
         for i, seg in enumerate(text_ids_segments):
             r = self.synthesize_segment(
                 spk, emo, np.asarray(seg),
                 emo_alpha=emo_alpha, emo_vector=emo_vector, use_random=use_random,
-                seed=None if seed is None else seed + i, **gen_kwargs,
+                seed=None if seed is None else seed + i,
+                cond_kv_key=cond_kv_key, **gen_kwargs,
             )
             yield r.wav
             if interval_silence > 0:
                 yield sil
+
+    def _seq_tail_overlap_enabled(self, n_segments: int) -> bool:
+        """Tail overlap engages for multi-segment sequential requests; it is
+        disabled under TARS_STAGE_SYNC=1 (the stage barriers it would overlap
+        are the point of that mode)."""
+        return (
+            self.cfg.runtime.seq_tail_overlap
+            and n_segments > 1
+            and os.environ.get("TARS_STAGE_SYNC", "0") != "1"
+        )
+
+    def _pipelined_segments(
+        self,
+        spk: SpeakerConditioning,
+        emo: EmotionConditioning,
+        text_ids_segments: List[np.ndarray],
+        emo_alpha: float = 1.0,
+        emo_vector: Optional[Sequence[float]] = None,
+        use_random: bool = False,
+        seed: Optional[int] = None,
+        cond_kv_key: Optional[tuple] = None,
+        **gen_kwargs,
+    ) -> Generator[SegmentResult, None, None]:
+        """Decode/tail pipeline over a segment list: a producer thread runs
+        the AR decode for segment k+1 while a single tail worker (FIFO, so
+        results complete in submission order) finishes segment k; yields
+        SegmentResults strictly in segment order."""
+        import queue
+        from concurrent.futures import ThreadPoolExecutor
+
+        tail_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="tars-seq-tail"
+        )
+        out_q: "queue.Queue[tuple]" = queue.Queue()
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for i, seg in enumerate(text_ids_segments):
+                    if stop.is_set():
+                        break
+                    seg = np.asarray(seg)
+                    s_i = None if seed is None else seed + i
+                    emovec, codes, t_gen = self._decode_segment_codes(
+                        spk, emo, seg, emo_alpha=emo_alpha,
+                        emo_vector=emo_vector, use_random=use_random,
+                        seed=s_i, cond_kv_key=cond_kv_key, **gen_kwargs,
+                    )
+                    out_q.put((
+                        "fut",
+                        tail_pool.submit(
+                            self._finish_from_codes,
+                            spk, emovec, seg, codes, s_i, t_gen,
+                        ),
+                    ))
+                out_q.put(("done", None))
+            except BaseException as e:  # surface decode errors to the consumer
+                out_q.put(("err", e))
+
+        th = threading.Thread(
+            target=producer, daemon=True, name="tars-seq-decode"
+        )
+        th.start()
+        try:
+            while True:
+                kind, v = out_q.get()
+                if kind == "done":
+                    break
+                if kind == "err":
+                    raise v
+                yield v.result()
+        finally:
+            stop.set()
+            tail_pool.shutdown(wait=True)
+            th.join(timeout=60)
 
     def infer_generator_continuous(
         self,
@@ -1392,6 +1532,15 @@ class IndexTTS2Engine:
                 emo_alpha=emo_alpha, emo_vector=emo_vector,
                 use_random=use_random, seed=seed, **bkw,
             )
+        elif self._seq_tail_overlap_enabled(len(text_ids_segments)):
+            # default sequential route, pipelined: tail k overlaps decode k+1
+            for r in self._pipelined_segments(
+                spk, emo, text_ids_segments, emo_alpha=emo_alpha,
+                emo_vector=emo_vector, use_random=use_random, seed=seed,
+                cond_kv_key=cond_kv_key, **gen_kwargs,
+            ):
+                wavs.append(r.wav)
+                stats.append(r)
         else:
             for i, seg in enumerate(text_ids_segments):
                 r = self.synthesize_segment(

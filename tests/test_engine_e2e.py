@@ -336,3 +336,55 @@ def test_infer_text_quick_streaming_passthrough(engine, rng, monkeypatch):
     engine.infer_text((prompt, sr), "quick streaming", seed=1,
                       quick_streaming_tokens=7)
     assert seen["quick"] == 7
+
+
+def test_seq_tail_overlap_waveform_parity(engine, rng, monkeypatch):
+    """The pipelined sequential route (tail k overlaps decode k+1, the
+    serving default) must be waveform-identical to the inline path for
+    seeded requests — infer() and infer_generator(), multi-segment."""
+    sr = 16000
+    prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    segs = [rng.integers(2, 50, 5), rng.integers(2, 50, 7),
+            rng.integers(2, 50, 4)]
+
+    assert engine._seq_tail_overlap_enabled(len(segs))
+    piped = engine.infer((prompt, sr), segs, seed=6, interval_silence=100)
+    gen_piped = np.concatenate(
+        list(engine.infer_generator((prompt, sr), segs, seed=6,
+                                    interval_silence=100))
+    )
+    monkeypatch.setenv("TARS_SEQ_TAIL_OVERLAP", "0")
+    inline_cfg = dataclasses.replace(
+        engine.cfg, runtime=dataclasses.replace(
+            engine.cfg.runtime, seq_tail_overlap=False)
+    )
+    monkeypatch.setattr(engine, "cfg", inline_cfg)
+    assert not engine._seq_tail_overlap_enabled(len(segs))
+    inline = engine.infer((prompt, sr), segs, seed=6, interval_silence=100)
+    gen_inline = np.concatenate(
+        list(engine.infer_generator((prompt, sr), segs, seed=6,
+                                    interval_silence=100))
+    )
+    np.testing.assert_array_equal(piped["audio"], inline["audio"])
+    np.testing.assert_array_equal(gen_piped, gen_inline)
+    # generator streams a trailing inter-segment silence; infer() does not
+    n_sil = int(22050 * 100 / 1000)
+    np.testing.assert_array_equal(piped["audio"], gen_inline[:-n_sil])
+    assert len(piped["stats"]) == 3
+
+
+def test_seq_tail_overlap_decode_error_propagates(engine, rng, monkeypatch):
+    """A decode failure inside the pipeline's producer thread surfaces to
+    the caller instead of hanging the queue."""
+    sr = 16000
+    prompt = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    segs = [rng.integers(2, 50, 5), rng.integers(2, 50, 6)]
+
+    def boom(*a, **k):
+        raise RuntimeError("decode exploded")
+
+    monkeypatch.setattr(engine, "_decode_segment_codes", boom)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        engine.infer((prompt, sr), segs, seed=0)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(engine.infer_generator((prompt, sr), segs, seed=0))
