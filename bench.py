@@ -9,7 +9,13 @@ Baseline (BASELINE.md): the reference generates 9.25 s of audio in 169.4 s on
 an RTX 2070 (fp16, cold) => 0.0546 audio-sec/s. `vs_baseline` is the ratio of
 our throughput to that number. RTF (wall/audio) is also printed to stderr.
 
-Output: ONE json line on stdout.
+Output: JSON lines on stdout — the headline line is printed as soon as the
+single-stream timed runs complete, then RE-EMITTED enriched after each
+optional section, so the LAST complete line always carries the most data and
+a mid-run kill can never lose the round's metric (round 4 lost its number to
+exactly that: an end-only emit killed during a 6x-degraded-tunnel warmup).
+An internal budget (BENCH_BUDGET_S, default 1500 s) skips optional sections
+instead of dying inside them.
 """
 
 import json
@@ -19,16 +25,31 @@ import time
 
 import numpy as np
 
+T_PROC = time.time()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
 def main():
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    def elapsed():
+        return time.time() - T_PROC
+
+    def remaining():
+        return budget - elapsed()
+
     import jax
 
-    # persistent compile cache: cold-start dominated by XLA compiles (~17 min
-    # for the full cascade); warm process restarts reuse them
+    if os.environ.get("BENCH_TINY", "0") == "1":
+        # self-test mode runs the tiny config on CPU (never claims the TPU)
+        jax.config.update("jax_platforms", "cpu")
+
+    # persistent compile cache: cold-start dominated by XLA compiles; warm
+    # process restarts reuse them (cold/warm startup is tracked in a sidecar
+    # next to the cache so the artifact can publish both numbers)
     cache_dir = os.environ.get("JAX_COMPILE_CACHE", "/tmp/indextts_tpu_jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -36,6 +57,12 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:
         log(f"compile cache unavailable: {e}")
+    prewarmed = False
+    try:
+        prewarmed = any(os.scandir(cache_dir))
+    except OSError:
+        pass
+    sidecar = os.path.join(cache_dir, "startup_history.json")
     import jax.numpy as jnp
 
     from indextts_tpu.config import IndexTTS2Config, RuntimeConfig
@@ -44,10 +71,13 @@ def main():
 
     # the tunneled TPU backend can be transiently unavailable (or another
     # process may briefly hold the single-chip claim); retry instead of
-    # losing the round's metric line. BENCH_CLAIM_WAIT_MIN=0 disables.
-    deadline = time.time() + 60.0 * float(
-        os.environ.get("BENCH_CLAIM_WAIT_MIN", "45")
+    # losing the round's metric line — but the wait may not eat the budget
+    # the measurements need (round 4 lesson). BENCH_CLAIM_WAIT_MIN=0 disables.
+    claim_s = min(
+        60.0 * float(os.environ.get("BENCH_CLAIM_WAIT_MIN", "10")),
+        max(0.0, budget * 0.4),
     )
+    deadline = time.time() + claim_s
     while True:
         try:
             dev = jax.devices()[0]
@@ -55,7 +85,7 @@ def main():
         except RuntimeError as e:
             if time.time() > deadline:
                 raise
-            log(f"backend unavailable ({e}); retrying in 60s")
+            log(f"backend unavailable ({e}); retrying in 30s")
             # drop any memoized failed-backend state before the next attempt
             for clear in ("_clear_backends", "clear_backends"):
                 try:
@@ -63,8 +93,9 @@ def main():
                     break
                 except Exception:
                     pass
-            time.sleep(60)
-    log(f"device: {dev}")
+            time.sleep(30)
+    log(f"device: {dev} (budget {budget:.0f}s, compile cache "
+        f"{'prewarmed' if prewarmed else 'cold'})")
 
     # fast serving path: int8 KV cache + W8A8 GPT weights (halves the two
     # dominant decode HBM streams; measured +35% decode tok/s at B=16, +37%
@@ -75,20 +106,39 @@ def main():
     # BENCH_QUANT=0 restores the full-precision parity configuration.
     quant = os.environ.get("BENCH_QUANT", "1") == "1"
     fast_dt = "bfloat16" if quant else "float32"
-    cfg = IndexTTS2Config(
-        runtime=RuntimeConfig(
-            diffusion_steps=int(os.environ.get("BENCH_DIFFUSION_STEPS", "20")),
-            kv_quant=quant,
-            gpt_quantize=quant,
-            # BENCH_WBITS=4: packed-nibble W4A8 GPT (streaming Pallas GEMVs).
-            # Measured r4 same-day vs W8: 9.6-10.0 vs 9.54 audio-sec/s
-            # single-stream (parity to +5%); W8 stays the default bundle.
-            gpt_wbits=int(os.environ.get("BENCH_WBITS", "8")),
-            head_quant=os.environ.get("TARS_HEAD_QUANT", "0") == "1",
-            s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", fast_dt),
-            voc_dtype=os.environ.get("TARS_VOC_DTYPE", fast_dt),
-        )
+    runtime = RuntimeConfig(
+        diffusion_steps=int(os.environ.get("BENCH_DIFFUSION_STEPS", "20")),
+        kv_quant=quant,
+        gpt_quantize=quant,
+        # BENCH_WBITS=4: packed-nibble W4A8 GPT (streaming Pallas GEMVs).
+        # Measured r4 same-day vs W8: 9.6-10.0 vs 9.54 audio-sec/s
+        # single-stream (parity to +5%); W8 stays the default bundle.
+        gpt_wbits=int(os.environ.get("BENCH_WBITS", "8")),
+        head_quant=os.environ.get("TARS_HEAD_QUANT", "0") == "1",
+        s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", fast_dt),
+        voc_dtype=os.environ.get("TARS_VOC_DTYPE", fast_dt),
     )
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    if tiny:
+        # self-test mode: the tests' tiny config on CPU, exercising the full
+        # bench control flow (sections, budget gates, progressive emits) in
+        # seconds — keeps the round's most important artifact debuggable
+        # without claiming the TPU (tests/test_bench_selftest.py)
+        import dataclasses
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+        from test_engine_e2e import tiny_config
+
+        cfg = dataclasses.replace(
+            tiny_config(),
+            runtime=dataclasses.replace(
+                runtime, diffusion_steps=2,
+                s2mel_dtype="float32", voc_dtype="float32",
+                kv_quant=False, gpt_quantize=False,
+            ),
+        )
+    else:
+        cfg = IndexTTS2Config(runtime=runtime)
     t0 = time.perf_counter()
     seed = 0 if os.environ.get("BENCH_RANDOM_PARAMS") else None
     params = random_params(cfg, seed=seed)
@@ -111,7 +161,8 @@ def main():
     # (infer_v2.py:304-310,618-666) and this framework's serving deployment
     # (TARS_REFERENCE_AUDIO is a path). BENCH_UNKEYED=1 restores the old
     # tuple-input behavior that re-extracts conditioning every request.
-    if os.environ.get("BENCH_UNKEYED", "0") == "1":
+    unkeyed = os.environ.get("BENCH_UNKEYED", "0") == "1"
+    if unkeyed:
         prompt = (prompt_arr, sr)
     else:
         from indextts_tpu.utils.audio import save_wav
@@ -123,16 +174,72 @@ def main():
     # path (the reference accel engine also ignores num_beams, model_v2.py:871);
     # BENCH_NUM_BEAMS=3 measures the reference-default beam-multinomial route
     n_beams = int(os.environ.get("BENCH_NUM_BEAMS", "1"))
-    n_text = int(os.environ.get("BENCH_TEXT_TOKENS", "64"))
-    n_codes = int(os.environ.get("BENCH_MEL_TOKENS", "400"))
+    n_text = int(os.environ.get("BENCH_TEXT_TOKENS", "8" if tiny else "64"))
+    n_codes = int(os.environ.get("BENCH_MEL_TOKENS", "16" if tiny else "400"))
     text = rng.integers(2, cfg.gpt.number_text_tokens, n_text)
 
-    # warmup / compile
+    # parallel program warmup: compile exactly the programs the headline
+    # route touches, in 4 threads (tracing holds the GIL; the XLA compiles
+    # run concurrently in C++) — the serial first-infer warmup was the bench
+    # killer at 323 s healthy / 1996 s degraded. BENCH_PARALLEL_WARM=0
+    # restores the old serial warmup for A/B.
+    warm_parallel_s = None
+    spk = None
+    if os.environ.get("BENCH_PARALLEL_WARM", "1") == "1":
+        try:
+            t0 = time.perf_counter()
+            spk = engine.prepare_speaker(
+                prompt_arr, sr, cache_key=None if unkeyed else prompt
+            )
+            from indextts_tpu.runtime.engine import next_bucket
+
+            decode_bucket = min(
+                next_bucket(n_text, 16, 16), cfg.gpt.max_text_tokens
+            )
+            n_warm = engine.precompile(
+                spk,
+                text_buckets=[decode_bucket],
+                code_lens=[n_codes],
+                max_new=n_codes,
+                num_beams=n_beams,
+                do_sample=True,
+                decode_variants="raw" if unkeyed else "keyed",
+                workers=int(os.environ.get("BENCH_WARM_WORKERS", "4")),
+            )
+            warm_parallel_s = time.perf_counter() - t0
+            log(f"parallel warmup: {n_warm} programs in {warm_parallel_s:.1f}s")
+        except Exception as e:
+            log(f"parallel warmup failed (first infer will compile): {e!r}")
+
+    # warmup / compile (all programs already compiled -> pure dispatch)
     t0 = time.perf_counter()
     out = engine.infer(prompt, [text], seed=0, max_mel_tokens=n_codes,
                        num_beams=n_beams, do_sample=True)
     compile_time = time.perf_counter() - t0
-    log(f"warmup (incl. compile): {compile_time:.1f}s, audio={out['duration_sec']:.2f}s")
+    if warm_parallel_s is not None:
+        compile_time += warm_parallel_s
+    startup_s = elapsed()
+    log(f"warmup (incl. compile): {compile_time:.1f}s, "
+        f"audio={out['duration_sec']:.2f}s; startup {startup_s:.1f}s")
+
+    # cold/warm startup sidecar: remember the cold number so warm runs can
+    # publish both (VERDICT r4 #4: cold-vs-warm startup in the artifact)
+    cold_startup_s = None if prewarmed else round(startup_s, 1)
+    try:
+        hist = []
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                hist = json.load(f)
+        for h in hist:
+            if not h.get("prewarmed") and cold_startup_s is None:
+                cold_startup_s = h.get("startup_s")
+        hist.append({"ts": time.time(), "startup_s": round(startup_s, 1),
+                     "prewarmed": prewarmed,
+                     "warmup_s": round(compile_time, 1)})
+        with open(sidecar, "w") as f:
+            json.dump(hist[-50:], f)
+    except Exception as e:
+        log(f"startup sidecar unavailable: {e}")
 
     # timed steady-state runs
     n_runs = int(os.environ.get("BENCH_RUNS", "3"))
@@ -160,164 +267,233 @@ def main():
     rtf = total_wall / total_audio
     log(f"steady-state: {audio_per_s:.2f} audio-sec/s (RTF {rtf:.3f})")
 
+    baseline_audio_per_s = 9.25 / 169.4  # BASELINE.md row 1
+    result = {
+        "metric": "audio_sec_generated_per_wall_sec",
+        "value": round(audio_per_s, 3),
+        "unit": "audio-sec/s",
+        "vs_baseline": round(audio_per_s / baseline_audio_per_s, 2),
+        "rtf": round(rtf, 4),
+        "tokens_per_s": round(n_codes * n_runs / stage_totals["gpt_gen"], 1)
+        if stage_totals["gpt_gen"] > 0
+        else None,
+        "compile_s": round(compile_time, 1),
+        "startup_s": round(startup_s, 1),
+        "startup_prewarmed": prewarmed,
+        "cold_startup_s": cold_startup_s,
+        "parallel_warm_s": round(warm_parallel_s, 1)
+        if warm_parallel_s is not None
+        else None,
+        "quant": "w8a8+kv8+bf16s2mel+bf16voc" if quant else "fp32",
+        "budget_s": budget,
+        "sections_skipped": [],
+    }
+
+    def emit():
+        # progressive re-emit: the LAST complete JSON line wins
+        print(json.dumps(result), flush=True)
+
+    emit()  # headline is now un-losable
+
+    def want(section, est_s):
+        """Budget gate for an optional section. est_s scales compile costs
+        by this session's measured warmup (tunnel-health proxy)."""
+        if os.environ.get(f"BENCH_{section}", "1") == "0":
+            return False
+        if remaining() < est_s:
+            log(f"skipping {section}: est {est_s:.0f}s > remaining "
+                f"{remaining():.0f}s of budget")
+            result["sections_skipped"].append(section.lower())
+            return False
+        return True
+
     # per-stage sequential breakdown with stage barriers (TARS_STAGE_SYNC):
     # the async stage_totals above are dispatch-skewed (a stage's wait lands
     # in the NEXT stage's clock) — publish only the sync'd table, from one
     # extra untimed pass, so the stage sum matches the wall clock
-    seq_stages = None
-    try:
-        os.environ["TARS_STAGE_SYNC"] = "1"
-        for _ in range(2):  # first sync'd pass can absorb a tunnel hiccup
-            out = engine.infer(prompt, [text], seed=99,
-                               max_mel_tokens=n_codes,
-                               num_beams=n_beams, do_sample=True)
-        s = out["stats"][0]
-        seq_stages = {
-            "gpt_gen": round(s.gpt_gen_time, 3),
-            "gpt_fwd": round(s.gpt_forward_time, 3),
-            "s2mel": round(s.s2mel_time, 3),
-            "bigvgan": round(s.bigvgan_time, 3),
-        }
-        log(f"sequential stages (sync'd): {seq_stages} "
-            f"(sum {sum(seq_stages.values()):.3f}s)")
-    except Exception as e:
-        log(f"sync'd sequential stage pass failed: {e!r}")
-    finally:
-        os.environ.pop("TARS_STAGE_SYNC", None)
+    if want("STAGES", 30):
+        try:
+            os.environ["TARS_STAGE_SYNC"] = "1"
+            for _ in range(2):  # first sync'd pass can absorb a tunnel hiccup
+                out = engine.infer(prompt, [text], seed=99,
+                                   max_mel_tokens=n_codes,
+                                   num_beams=n_beams, do_sample=True)
+            s = out["stats"][0]
+            result["stages"] = {
+                "gpt_gen": round(s.gpt_gen_time, 3),
+                "gpt_fwd": round(s.gpt_forward_time, 3),
+                "s2mel": round(s.s2mel_time, 3),
+                "bigvgan": round(s.bigvgan_time, 3),
+            }
+            log(f"sequential stages (sync'd): {result['stages']} "
+                f"(sum {sum(result['stages'].values()):.3f}s)")
+        except Exception as e:
+            log(f"sync'd sequential stage pass failed: {e!r}")
+        finally:
+            os.environ.pop("TARS_STAGE_SYNC", None)
+        emit()
+
+    # sequential tail-overlap A/B: a 4-segment request with the cascade tail
+    # pipelined against the next segment's decode (serving default,
+    # TARS_SEQ_TAIL_OVERLAP) vs strictly inline. No new compiles — every
+    # program is warm from the single-segment runs.
+    if want("SEQ_TAIL", 60):
+        import dataclasses
+
+        segs = [text] * 4
+        ab = {}
+        try:
+            for label, flag in (("overlap", True), ("inline", False)):
+                engine.cfg = dataclasses.replace(
+                    engine.cfg,
+                    runtime=dataclasses.replace(
+                        engine.cfg.runtime, seq_tail_overlap=flag
+                    ),
+                )
+                for rep in range(2):  # settle then time
+                    t0 = time.perf_counter()
+                    out = engine.infer(
+                        prompt, segs, seed=31 + rep, max_mel_tokens=n_codes,
+                        num_beams=n_beams, do_sample=True,
+                    )
+                    bt = time.perf_counter() - t0
+                ab[label] = round(out["duration_sec"] / bt, 2)
+                log(f"seq 4-seg {label}: wall={bt:.2f}s "
+                    f"audio={out['duration_sec']:.2f}s -> {ab[label]} audio-sec/s")
+            result["seq_tail"] = dict(ab, segments=4)
+        except Exception as e:
+            log(f"seq tail A/B failed: {e!r}")
+        finally:
+            engine.cfg = dataclasses.replace(
+                engine.cfg,
+                runtime=dataclasses.replace(
+                    engine.cfg.runtime, seq_tail_overlap=True
+                ),
+            )
+        emit()
 
     # batched AR decode throughput (continuous-batching proxy): B sequences
     # decoded concurrently in one jitted loop; measured at B=8 and B=16
-    batched_tok_s = {}
-    try:
-      if os.environ.get("BENCH_BATCHED", "1") != "0":
-        spk = engine.prepare_speaker(prompt_arr, sr, cache_key="bench")
-        emo_cond = spk.spk_cond_emb
-        emovec = engine._emovec_program(
-            engine.p_gpt, spk.spk_cond_emb, emo_cond,
-            jnp.asarray([spk.cond_len]), jnp.asarray([spk.cond_len]),
-            jnp.asarray(1.0, jnp.float32),
-        )
-        conds = engine._build_conds_program(engine.p_gpt, spk.spk_latents, emovec)
-        batch_sizes = [
-            int(b) for b in os.environ.get("BENCH_BATCH", "8,16").split(",")
-        ]
-        for B in batch_sizes:
-            conds_b = jnp.repeat(conds, B, axis=0)
-            ids, pos, valid = engine.decoder.build_text_prompt_arrays(
-                np.tile(text[None], (B, 1)), np.full(B, n_text), bucket=n_text
+    est_batched = 0.35 * compile_time + 30
+    if want("BATCHED", est_batched):
+        batched_tok_s = {}
+        try:
+            spk = spk or engine.prepare_speaker(prompt_arr, sr, cache_key="bench")
+            emo_cond = spk.spk_cond_emb
+            emovec = engine._emovec_program(
+                engine.p_gpt, spk.spk_cond_emb, emo_cond,
+                jnp.asarray([spk.cond_len]), jnp.asarray([spk.cond_len]),
+                jnp.asarray(1.0, jnp.float32),
             )
-            kb = jax.random.PRNGKey(7)
-            for rep in range(2):  # first = compile, second = timed
-                t0 = time.perf_counter()
-                res = engine.decoder.generate(
-                    {"params": engine.p_gpt},
-                    conds_b, jnp.asarray(ids), jnp.asarray(pos),
-                    jnp.asarray(valid), kb, max_new=n_codes,
+            conds = engine._build_conds_program(
+                engine.p_gpt, spk.spk_latents, emovec
+            )
+            batch_sizes = [
+                int(b) for b in os.environ.get("BENCH_BATCH", "8,16").split(",")
+            ]
+            for B in batch_sizes:
+                if remaining() < est_batched / 2:
+                    log(f"skipping batched B={B}: budget")
+                    result["sections_skipped"].append(f"batched_b{B}")
+                    break
+                conds_b = jnp.repeat(conds, B, axis=0)
+                ids, pos, valid = engine.decoder.build_text_prompt_arrays(
+                    np.tile(text[None], (B, 1)), np.full(B, n_text),
+                    bucket=n_text,
                 )
-                np.asarray(res.codes)
-                bt = time.perf_counter() - t0
-            batched_tok_s[B] = B * n_codes / bt
-            log(f"batched decode B={B}: {bt:.2f}s -> {batched_tok_s[B]:.0f} tok/s "
-                f"({batched_tok_s[B] * 0.02:.1f} audio-sec/s decode-only)")
-    except Exception as e:  # optional section: never lose the metric line
-        log(f"batched decode failed: {e!r}")
+                kb = jax.random.PRNGKey(7)
+                for rep in range(2):  # first = compile, second = timed
+                    t0 = time.perf_counter()
+                    res = engine.decoder.generate(
+                        {"params": engine.p_gpt},
+                        conds_b, jnp.asarray(ids), jnp.asarray(pos),
+                        jnp.asarray(valid), kb, max_new=n_codes,
+                    )
+                    np.asarray(res.codes)
+                    bt = time.perf_counter() - t0
+                batched_tok_s[B] = B * n_codes / bt
+                log(f"batched decode B={B}: {bt:.2f}s -> "
+                    f"{batched_tok_s[B]:.0f} tok/s "
+                    f"({batched_tok_s[B] * 0.02:.1f} audio-sec/s decode-only)")
+        except Exception as e:  # optional section: never lose the metric line
+            log(f"batched decode failed: {e!r}")
+        if batched_tok_s:
+            result["batched_decode_tok_s"] = round(
+                batched_tok_s.get(8, next(iter(batched_tok_s.values()))), 1
+            )
+            if 16 in batched_tok_s:
+                result["batched_decode_tok_s_b16"] = round(batched_tok_s[16], 1)
+        emit()
 
     # batched END-TO-END: one request of B segments through one AR loop +
     # batched latent/s2mel/vocoder (engine batched mode)
-    batched_e2e_audio_s = None
-    batched_stages = None
-    try:
-      if os.environ.get("BENCH_BATCHED_E2E", "1") != "0":
-        Bseg = int(os.environ.get("BENCH_BATCH_E2E", "8"))
-        segs = [text for _ in range(Bseg)]
-        for rep in range(2):  # compile then time
-            t0 = time.perf_counter()
-            out = engine.infer(
-                prompt, segs, seed=11, max_mel_tokens=n_codes, batched=True,
-                num_beams=1, do_sample=True,
-            )
-            bt = time.perf_counter() - t0
-        batched_e2e_audio_s = out["duration_sec"] / bt
-        log(
-            f"batched e2e B={Bseg}: wall={bt:.2f}s audio={out['duration_sec']:.2f}s"
-            f" -> {batched_e2e_audio_s:.2f} audio-sec/s (rtf {bt / out['duration_sec']:.3f})"
-        )
-        # per-stage batched breakdown: one extra run with stage barriers
-        # (TARS_STAGE_SYNC forces a scalar d2h per stage; the official
-        # number above stays fully async)
-        os.environ["TARS_STAGE_SYNC"] = "1"
+    if want("BATCHED_E2E", 0.5 * compile_time + 40):
         try:
-            # two passes, keep the second: the first sync'd pass can absorb
-            # one-off tunnel dispatch hiccups (~0.4 s observed)
-            for _ in range(2):
-                engine.infer(
+            Bseg = int(os.environ.get("BENCH_BATCH_E2E", "8"))
+            segs = [text for _ in range(Bseg)]
+            for rep in range(2):  # compile then time
+                t0 = time.perf_counter()
+                out = engine.infer(
                     prompt, segs, seed=11, max_mel_tokens=n_codes,
                     batched=True, num_beams=1, do_sample=True,
                 )
-                batched_stages = {
-                    k: round(v, 3)
-                    for k, v in getattr(engine, "_last_batched_stats", {}).items()
-                }
-            log(f"batched e2e stages (sync'd): {batched_stages}")
-        finally:
-            os.environ.pop("TARS_STAGE_SYNC", None)
-    except Exception as e:
-        log(f"batched e2e failed: {e!r}")
+                bt = time.perf_counter() - t0
+            result["batched_e2e_audio_s"] = round(out["duration_sec"] / bt, 2)
+            log(
+                f"batched e2e B={Bseg}: wall={bt:.2f}s "
+                f"audio={out['duration_sec']:.2f}s"
+                f" -> {result['batched_e2e_audio_s']:.2f} audio-sec/s "
+                f"(rtf {bt / out['duration_sec']:.3f})"
+            )
+            # per-stage batched breakdown: one extra run with stage barriers
+            # (TARS_STAGE_SYNC forces a scalar d2h per stage; the official
+            # number above stays fully async)
+            os.environ["TARS_STAGE_SYNC"] = "1"
+            try:
+                # two passes, keep the second: the first sync'd pass can
+                # absorb one-off tunnel dispatch hiccups (~0.4 s observed)
+                for _ in range(2):
+                    engine.infer(
+                        prompt, segs, seed=11, max_mel_tokens=n_codes,
+                        batched=True, num_beams=1, do_sample=True,
+                    )
+                    result["batched_stages"] = {
+                        k: round(v, 3)
+                        for k, v in getattr(
+                            engine, "_last_batched_stats", {}
+                        ).items()
+                    }
+                log(f"batched e2e stages (sync'd): {result['batched_stages']}")
+            finally:
+                os.environ.pop("TARS_STAGE_SYNC", None)
+        except Exception as e:
+            log(f"batched e2e failed: {e!r}")
+        emit()
 
     # the reference-default serving route: beam-multinomial num_beams=3
     # (infer_v2.py:714-776); published so the beam path's cost is a number,
     # not a guess (int8 KV + cond-prefix reuse apply to it too)
-    beam3_audio_s = None
-    try:
-      if os.environ.get("BENCH_BEAM", "1") != "0" and n_beams == 1:
-        for rep in range(2):  # compile then time
-            t0 = time.perf_counter()
-            out = engine.infer(
-                prompt, [text], seed=21, max_mel_tokens=n_codes,
-                num_beams=3, do_sample=True,
-            )
-            bt = time.perf_counter() - t0
-        beam3_audio_s = out["duration_sec"] / bt
-        log(
-            f"beam-3 e2e: wall={bt:.2f}s audio={out['duration_sec']:.2f}s "
-            f"-> {beam3_audio_s:.2f} audio-sec/s"
-        )
-    except Exception as e:
-        log(f"beam bench failed: {e!r}")
-
-    baseline_audio_per_s = 9.25 / 169.4  # BASELINE.md row 1
-    print(
-        json.dumps(
-            {
-                "metric": "audio_sec_generated_per_wall_sec",
-                "value": round(audio_per_s, 3),
-                "unit": "audio-sec/s",
-                "vs_baseline": round(audio_per_s / baseline_audio_per_s, 2),
-                "rtf": round(rtf, 4),
-                "tokens_per_s": round(n_codes * n_runs / stage_totals["gpt_gen"], 1)
-                if stage_totals["gpt_gen"] > 0
-                else None,
-                "compile_s": round(compile_time, 1),
-                "quant": "w8a8+kv8+bf16s2mel+bf16voc" if quant else "fp32",
-                "batched_decode_tok_s": round(
-                    batched_tok_s.get(8, next(iter(batched_tok_s.values()))), 1
+    if n_beams == 1 and want("BEAM", 0.5 * compile_time + 20):
+        try:
+            for rep in range(2):  # compile then time
+                t0 = time.perf_counter()
+                out = engine.infer(
+                    prompt, [text], seed=21, max_mel_tokens=n_codes,
+                    num_beams=3, do_sample=True,
                 )
-                if batched_tok_s
-                else None,
-                "batched_decode_tok_s_b16": round(batched_tok_s[16], 1)
-                if 16 in batched_tok_s
-                else None,
-                "batched_e2e_audio_s": round(batched_e2e_audio_s, 2)
-                if batched_e2e_audio_s
-                else None,
-                "stages": seq_stages,  # sync'd (TARS_STAGE_SYNC) sequential table
-                "batched_stages": batched_stages,
-                "beam3_audio_s": round(beam3_audio_s, 2)
-                if beam3_audio_s
-                else None,
-            }
-        )
-    )
+                bt = time.perf_counter() - t0
+            result["beam3_audio_s"] = round(out["duration_sec"] / bt, 2)
+            log(
+                f"beam-3 e2e: wall={bt:.2f}s audio={out['duration_sec']:.2f}s "
+                f"-> {result['beam3_audio_s']:.2f} audio-sec/s"
+            )
+        except Exception as e:
+            log(f"beam bench failed: {e!r}")
+        emit()
+
+    emit()  # final line reflects any sections the budget skipped
+    log(f"bench complete in {elapsed():.1f}s "
+        f"(skipped: {result['sections_skipped'] or 'none'})")
 
 
 if __name__ == "__main__":

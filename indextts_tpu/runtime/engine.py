@@ -1015,6 +1015,8 @@ class IndexTTS2Engine:
         do_sample: Optional[bool] = None,
         workers: int = 4,
         block: bool = True,
+        code_lens: Optional[Sequence[int]] = None,
+        decode_variants: str = "both",
     ):
         """Compile the serving envelope's jitted programs up front, in
         parallel threads (tracing holds the GIL; the XLA compiles run
@@ -1028,6 +1030,14 @@ class IndexTTS2Engine:
         `max_code_len` codes can be compiled before (or while) traffic
         arrives, and no request inside the envelope ever hits a compile
         stall. Shapes outside the envelope still compile on demand.
+
+        code_lens: restrict the (code, target) combo grid to exactly the
+        code lengths given instead of the whole [1, max_code_len] envelope —
+        a known-shape caller (bench warmup, fixed-length serving) compiles
+        one combo instead of ~15. decode_variants: "both" compiles the
+        keyed (cond-KV reuse) and raw decode traces; "keyed"/"raw" compile
+        just one (they are distinct XLA programs; halves the warmup pole
+        when the caller knows its route).
 
         Returns the number of programs compiled.
         """
@@ -1057,7 +1067,7 @@ class IndexTTS2Engine:
         # else the sampling loop; both reuse the conds-prefix KV when the
         # layout supports it
         cond_kv = None
-        if self.decoder.supports_cond_kv:
+        if self.decoder.supports_cond_kv and decode_variants != "raw":
             cond_kv = self.decoder.cond_prefill({"params": self.p_gpt}, conds)
         self.decoder.ensure_beam_jit()
 
@@ -1065,7 +1075,8 @@ class IndexTTS2Engine:
         # code_len in [1, max_code_len] (one code bucket can map to two
         # target buckets across its code_len range)
         combos = {}
-        for cl in range(1, max_code_len + 1):
+        for cl in (range(1, max_code_len + 1) if code_lens is None
+                   else [int(c) for c in code_lens]):
             cb = next_bucket(cl, 64, 64)
             tb = next_bucket(int(cl * 1.72), 128, 128)
             combos.setdefault((cb, tb), cl)
@@ -1083,7 +1094,11 @@ class IndexTTS2Engine:
                 np.ones((1, bucket), np.int32), np.asarray([bucket]), bucket
             )
             k = jax.random.PRNGKey(0)
-            variants = [None] + ([cond_kv] if cond_kv is not None else [])
+            variants = []
+            if decode_variants in ("both", "raw"):
+                variants.append(None)
+            if cond_kv is not None:
+                variants.append(cond_kv)
             for ckv in variants:
                 if nb > 1:
                     self.decoder.generate_beam(
