@@ -130,12 +130,25 @@ class ContinuousBatcher:
 
     # -- scheduling ---------------------------------------------------------
 
+    # queue-wait seconds that promote a pending segment by one priority
+    # level: under sustained arrivals, strict breadth-first admission would
+    # let every new request's first segment bypass older requests' tail
+    # segments indefinitely; aging bounds that starvation to roughly
+    # AGING_S * max_segment_index seconds of extra wait.
+    AGING_S = 10.0
+
     def _admit(self):
         st = self.state
         free = np.flatnonzero(~np.asarray(st["active"]))
         if len(free) and len(self._queue) > 1:
-            # stable: FIFO within a priority level
-            self._queue.sort(key=lambda p: (p.priority, p.req_id))
+            # stable: FIFO within an (aged) priority level
+            now = time.perf_counter()
+            self._queue.sort(
+                key=lambda p: (
+                    p.priority - (now - p.enqueued_at) / self.AGING_S,
+                    p.req_id,
+                )
+            )
         for slot in free:
             if not self._queue:
                 break
@@ -391,11 +404,23 @@ class ContinuousService:
                 if self._tail_pool is not None:
                     # decode loop moves straight on to the next admit+chunk;
                     # the tail (and its blocking PCM d2h) runs concurrently
-                    self._tail_pool.submit(self._finish_one, c, meta, fut)
+                    try:
+                        self._tail_pool.submit(self._finish_one, c, meta, fut)
+                    except RuntimeError:
+                        # pool already shut down (late harvest during
+                        # shutdown): finish inline rather than stranding the
+                        # future with a confusing submit error
+                        self._finish_one(c, meta, fut)
                 else:
                     self._finish_one(c, meta, fut)
 
     def _finish_one(self, c, meta, fut):
+        # claims the future atomically: a caller cancel() that lands before
+        # this point wins cleanly, and set_result can no longer race
+        # cancellation into InvalidStateError (which would kill the decode
+        # thread in inline mode)
+        if not fut.set_running_or_notify_cancel():
+            return
         spk, emovec, text_ids, seed, t0 = meta
         try:
             res = self.engine._finish_from_codes(
@@ -410,6 +435,9 @@ class ContinuousService:
         with self._cv:
             self._running = False
             self._cv.notify_all()
-        self._thread.join(timeout=5)
+        # join WITHOUT a cap before closing the tail pool: a worker stuck in
+        # a long step_chunk/compile (>5 s is routine on a degraded tunnel)
+        # must not wake up to a shut-down pool mid-harvest
+        self._thread.join()
         if self._tail_pool is not None:
             self._tail_pool.shutdown(wait=True)

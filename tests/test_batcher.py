@@ -360,3 +360,39 @@ def test_engine_infer_continuous_concurrent_requests():
         svc.shutdown()
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def test_batcher_admission_aging_promotes_old_tail_segments(rng):
+    """ADVICE r4: strict breadth-first admission starves older requests'
+    tail segments under sustained arrivals. Queue-wait now ages a pending
+    segment's effective priority (one level per AGING_S seconds), so a
+    long-waiting priority-1 segment beats a fresh priority-0 one."""
+    import time as _time
+
+    model = UnifiedVoice(CFG, attn_impl="xla")
+    dec = GPTDecoder(model, CFG, SamplingConfig(do_sample=False))
+    bat = ContinuousBatcher(dec, _params(model), n_slots=1, text_bucket=8,
+                            max_new=8, chunk_steps=4)
+    old_tail = bat.submit(jnp.zeros((1, 34, 64)), np.arange(2, 6), priority=1)
+    fresh = bat.submit(jnp.zeros((1, 34, 64)), np.arange(2, 6), priority=0)
+    # backdate the tail segment past one aging level
+    bat._queue[0].enqueued_at = _time.perf_counter() - 1.5 * bat.AGING_S
+    bat._admit()
+    admitted = [p.req_id for p in bat._slot_req if p is not None]
+    assert admitted == [old_tail]
+    assert bat._queue[0].req_id == fresh
+
+
+def test_service_finish_one_tolerates_cancelled_future():
+    """ADVICE r4: a caller cancel() racing _finish_one must not raise
+    InvalidStateError (inline mode would kill the decode thread). The
+    future is claimed atomically; a won cancel returns without computing."""
+    from concurrent.futures import Future
+
+    from indextts_tpu.runtime.batcher import ContinuousService
+
+    fut = Future()
+    assert fut.cancel()
+    # unbound call: a cancelled future returns before touching engine/meta
+    ContinuousService._finish_one(None, None, None, fut)
+    assert fut.cancelled()
