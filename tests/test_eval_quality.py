@@ -144,3 +144,64 @@ def test_cli_writes_artifact(engine, prompt_wav, tmp_path, monkeypatch):
     assert art["meta"]["asr"] == "mock"
     assert art["aggregate"]["wer"] == 0.0
     assert len(art["cases"]) == 1
+
+
+def test_negative_controls_two_prompts(engine, prompt_wav, tmp_path):
+    """VERDICT r4 #3: wrong-speaker and mismatched-emotion control rows.
+    With two distinct prompts the cross speaker comes from the other case's
+    prompt; margins and the discriminative flag land in the artifact."""
+    from indextts_tpu.utils.audio import save_wav
+
+    rng = np.random.default_rng(11)
+    other = tmp_path / "other_prompt.wav"
+    save_wav(str(other), (rng.standard_normal(16000) * 0.1).astype(np.float32),
+             16000)
+    cases = [
+        {"id": "a", "text": "first speaker case"},
+        {"id": "b", "text": "second speaker case", "spk_audio": str(other),
+         "emo_vector": [0, 0, 0.8, 0, 0, 0, 0, 0]},
+    ]
+    result = eval_quality.evaluate(
+        engine, cases, eval_quality.MockASR(drop=0.0),
+        spk_audio=prompt_wav, seed=0,
+    )
+    c = result["controls"]
+    assert len(c["spk"]) == 2
+    for row in c["spk"]:
+        assert row["margin"] == pytest.approx(row["same"] - row["cross"],
+                                              abs=1e-6)
+        # cross prompt differs from the row's own prompt
+    assert c["spk"][0]["cross_prompt"] == str(other)
+    assert c["spk"][1]["cross_prompt"] == prompt_wav
+    assert c["spk_control_synthetic"] is False
+    # differing emo targets (neutral vs vector) -> emo control rows exist
+    assert "emo" in c and len(c["emo"]) == 2
+    # the flags are present and honest (bool, matched to the margin)
+    assert result["meta"]["spk_sim_discriminative"] == (
+        c["spk_margin_mean"] >= 0.01
+    )
+    if not result["meta"]["spk_sim_discriminative"]:
+        assert "measured nothing" in result["meta"]["spk_sim_note"]
+    # cached flag: both rows used fresh prompts
+    assert [r["cached"] for r in result["cases"]] == [False, False]
+
+
+def test_negative_controls_single_prompt_synthetic(engine, prompt_wav):
+    """One shared prompt: the wrong-speaker control falls back to a
+    synthetic noise prompt and says so; identical neutral emo targets mean
+    no emo control is constructible — also recorded."""
+    cases = [
+        {"id": "a", "text": "case one"},
+        {"id": "b", "text": "case two"},
+    ]
+    result = eval_quality.evaluate(
+        engine, cases, eval_quality.MockASR(drop=0.0),
+        spk_audio=prompt_wav, seed=0,
+    )
+    c = result["controls"]
+    assert c["spk_control_synthetic"] is True
+    assert all(r["cross_prompt"] == "synthetic:noise" for r in c["spk"])
+    assert "emo_note" in c and "emo" not in c
+    # second case reused the cached prompt conditioning
+    assert [r["cached"] for r in result["cases"]] == [False, True]
+    assert "timing_note" in result["meta"]

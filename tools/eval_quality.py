@@ -250,13 +250,26 @@ def evaluate(
     wav_dir: Optional[str] = None,
     progress: Optional[Callable[[Dict], None]] = None,
     gen_kwargs: Optional[Dict] = None,
+    controls: bool = True,
+    control_spk_audio: Optional[str] = None,
 ) -> Dict:
     """Run the three quality metrics over `cases`; returns the artifact
     dict (rows + aggregates). `asr` is any object with
-    ``transcribe(wav, sr, ref_text) -> str``."""
+    ``transcribe(wav, sr, ref_text) -> str``.
+
+    controls=True adds NEGATIVE-CONTROL rows (VERDICT r4 #3): each
+    synthesized clip is also scored against a *wrong* speaker embedding and
+    a *mismatched* emotion target. A metric only means something if the
+    same-pair score beats the cross-pair score; when it doesn't (e.g.
+    random-weight CAMPPlus embeddings saturating near cosine 1.0), the
+    artifact says so in meta instead of publishing 1.0 as if measured.
+    control_spk_audio: an explicit wrong-speaker prompt; default is another
+    distinct prompt among the cases, falling back to a synthetic noise
+    prompt (flagged) when every case shares one prompt."""
     from indextts_tpu.utils import audio as audio_utils
 
     rows = []
+    probes = []  # (synth_style, synth_emovec, target_emo, prompt_key)
     tot_err = tot_ref = 0
     spk_sims, emo_sims = [], []
     # per-prompt caches: a shared --spk-audio prompt otherwise recomputes
@@ -268,6 +281,11 @@ def evaluate(
         spk = case.get("spk_audio") or spk_audio
         if spk is None:
             raise ValueError("need spk_audio (per case or default)")
+        # cached flag (VERDICT r4 #3): gen_time_s rows are only comparable
+        # within the same cache state — this row's speaker conditioning was
+        # already warm iff the prompt was seen earlier in this run. Program
+        # compiles add further first-shape cost; run_index orders them.
+        cached = isinstance(spk, str) and spk in prompt_cache
         t0 = time.perf_counter()
         out = _synthesize(engine, case, spk, seed + i, gen_kwargs)
         gen_s = time.perf_counter() - t0
@@ -315,8 +333,11 @@ def evaluate(
                 if cache_key is not None:
                     prompt_emo_cache[cache_key] = target_emo
             emo_mode = "neutral"
-        e_sim = cosine(emovec_of(engine, wav, out_sr), target_emo)
+        synth_emovec = emovec_of(engine, wav, out_sr)
+        e_sim = cosine(synth_emovec, target_emo)
         emo_sims.append(e_sim)
+        probes.append((synth_style, synth_emovec, np.asarray(target_emo),
+                       cache_key))
 
         row = {
             "id": case.get("id", str(i)),
@@ -328,17 +349,24 @@ def evaluate(
             "emo_mode": emo_mode,
             "audio_dur_s": round(out["duration_sec"], 3),
             "gen_time_s": round(gen_s, 3),
+            "cached": cached,
+            "run_index": i,
         }
         rows.append(row)
         if progress:
             progress(row)
 
-    return {
+    result = {
         "meta": {
             "asr": asr.name,
             "asr_needs_ref": bool(getattr(asr, "needs_ref", False)),
             "n_cases": len(cases),
             "seed": seed,
+            "timing_note": (
+                "gen_time_s rows mix cache states: cached=false rows pay "
+                "conditioning extraction, and early run_index rows pay XLA "
+                "first-shape compiles — compare like with like"
+            ),
         },
         "cases": rows,
         "aggregate": {
@@ -348,6 +376,115 @@ def evaluate(
             "emo_sim_mean": round(float(np.mean(emo_sims)), 4),
         },
     }
+    if controls and rows:
+        result["controls"] = _negative_controls(
+            engine, rows, probes, prompt_cache, control_spk_audio
+        )
+        _flag_degenerate_metrics(result)
+    return result
+
+
+def _negative_controls(engine, rows, probes, prompt_cache,
+                       control_spk_audio):
+    """Wrong-speaker / mismatched-emotion control scores. Each synthesized
+    clip's embedding is re-scored against a DIFFERENT prompt's speaker
+    style and a DIFFERENT row's emotion target; `margin = same - cross` per
+    row. Positive margins demonstrate the metric separates; ~zero margins
+    mean it measured nothing on these weights (then meta says so)."""
+    from indextts_tpu.utils import audio as audio_utils
+
+    # wrong-speaker styles: an explicit control prompt, else every distinct
+    # case prompt, else a synthetic deterministic noise prompt (flagged)
+    cross_styles: Dict[str, np.ndarray] = {}
+    synthetic = False
+    if control_spk_audio:
+        w, sr = audio_utils.load_wav(control_spk_audio)
+        cross_styles[control_spk_audio] = campplus_style(engine, w, sr)
+    else:
+        for key, (_, _, style) in prompt_cache.items():
+            cross_styles[key] = style
+        if len(cross_styles) < 2:
+            rng = np.random.default_rng(1234)
+            noise = (rng.standard_normal(3 * 16000) * 0.1).astype(np.float32)
+            cross_styles["synthetic:noise"] = campplus_style(
+                engine, noise, 16000
+            )
+            synthetic = True
+
+    spk_rows, emo_rows = [], []
+    n = len(rows)
+    for i, (row, (style, emovec, target, key)) in enumerate(zip(rows, probes)):
+        # pick a cross style from a different prompt than this row's
+        cross_key = next(
+            (k for k in cross_styles if k != key),
+            next(iter(cross_styles)),
+        )
+        cross = cosine(style, cross_styles[cross_key])
+        spk_rows.append({
+            "id": row["id"], "same": row["spk_sim"],
+            "cross": round(cross, 4),
+            "margin": round(row["spk_sim"] - cross, 4),
+            "cross_prompt": cross_key,
+        })
+        # mismatched emotion target: the nearest other row with a target
+        # that actually differs from this row's
+        cross_e = None
+        for j in range(1, n):
+            other = probes[(i + j) % n][2]
+            if other.shape == target.shape and not np.allclose(other, target):
+                cross_e = cosine(emovec, other)
+                break
+        if cross_e is not None:
+            emo_rows.append({
+                "id": row["id"], "same": row["emo_sim"],
+                "cross": round(cross_e, 4),
+                "margin": round(row["emo_sim"] - cross_e, 4),
+            })
+
+    out = {
+        "spk": spk_rows,
+        "spk_margin_mean": round(
+            float(np.mean([r["margin"] for r in spk_rows])), 4
+        ),
+        "spk_control_synthetic": synthetic,
+    }
+    if emo_rows:
+        out["emo"] = emo_rows
+        out["emo_margin_mean"] = round(
+            float(np.mean([r["margin"] for r in emo_rows])), 4
+        )
+    else:
+        out["emo_note"] = (
+            "all cases share one emotion target; no mismatched-emotion "
+            "control is constructible from this case set"
+        )
+    return out
+
+
+def _flag_degenerate_metrics(result, min_margin: float = 0.01):
+    """If the same-pair score does not beat the cross-pair score, the
+    metric separated nothing on these weights — record that in meta instead
+    of letting a 1.0000 read as a measurement (VERDICT r4 #3)."""
+    c = result.get("controls", {})
+    meta = result["meta"]
+    spk_m = c.get("spk_margin_mean")
+    if spk_m is not None:
+        meta["spk_sim_discriminative"] = bool(spk_m >= min_margin)
+        if spk_m < min_margin:
+            meta["spk_sim_note"] = (
+                f"spk_sim margin over wrong-speaker control is {spk_m} "
+                "(<" f"{min_margin}): the embedding does not separate "
+                "speakers on these weights — spk_sim values above measured "
+                "nothing (random-weight CAMPPlus saturates near cosine 1.0)"
+            )
+    emo_m = c.get("emo_margin_mean")
+    if emo_m is not None:
+        meta["emo_sim_discriminative"] = bool(emo_m >= min_margin)
+        if emo_m < min_margin:
+            meta["emo_sim_note"] = (
+                f"emo_sim margin over mismatched-target control is {emo_m}: "
+                "the emotion probe does not separate targets on these weights"
+            )
 
 
 def main(argv=None):
@@ -363,6 +500,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output", default="EVAL.json")
     p.add_argument("--wav-dir", default=None, help="save synthesized wavs here")
+    p.add_argument("--control-spk-audio", default=None,
+                   help="wrong-speaker prompt for the negative control "
+                        "(default: another distinct case prompt, else a "
+                        "flagged synthetic noise prompt)")
+    p.add_argument("--no-controls", action="store_true",
+                   help="skip the negative-control section")
     args = p.parse_args(argv)
 
     if args.model_dir:
@@ -384,6 +527,8 @@ def main(argv=None):
         engine, cases, asr, spk_audio=args.spk_audio, seed=args.seed,
         wav_dir=args.wav_dir,
         progress=lambda r: print(json.dumps(r), file=sys.stderr),
+        controls=not args.no_controls,
+        control_spk_audio=args.control_spk_audio,
     )
     result["meta"]["weights"] = weights
     result["meta"]["model_dir"] = args.model_dir
