@@ -63,7 +63,15 @@ def convert_reference_checkpoints(
         net_np = {
             k: tc.strip_ddp_prefix(tc.to_numpy_sd(v)) for k, v in net.items()
         }
-        params["s2mel"] = tc.convert_s2mel(net_np)
+        # layer counts come from the config tree, not the full-size defaults:
+        # a config.yaml shipped next to the weights (tiny or resized models)
+        # must convert consistently with the engine it feeds
+        params["s2mel"] = tc.convert_s2mel(
+            net_np,
+            depth=cfg.s2mel.dit.depth,
+            wn_layers=cfg.s2mel.wavenet.num_layers,
+            n_ratios=len(cfg.s2mel.length_regulator.sampling_ratios),
+        )
 
     stats_path = d / "wav2vec2bert_stats.pt"
     if stats_path.exists():
@@ -113,13 +121,20 @@ def load_engine(
     model_dir: str,
     cfg_path: Optional[str] = None,
     use_native_cache: bool = True,
+    cfg: Optional[IndexTTS2Config] = None,
     **engine_kwargs,
 ):
-    """Build an IndexTTS2Engine from a checkpoint directory."""
+    """Build an IndexTTS2Engine from a checkpoint directory.
+
+    cfg: an already-built config tree overrides cfg_path/config.yaml —
+    needed when the architecture differs from the reference defaults in
+    sections config.yaml does not express (vocoder/w2vbert/campplus come
+    from their own HF checkpoints in the reference, infer_v2.py:187-264)."""
     from indextts_tpu.runtime.engine import IndexTTS2Engine, random_params
 
     d = Path(model_dir)
-    cfg = load_config(cfg_path or (str(d / "config.yaml") if (d / "config.yaml").exists() else None))
+    if cfg is None:
+        cfg = load_config(cfg_path or (str(d / "config.yaml") if (d / "config.yaml").exists() else None))
 
     cache = d / "jax_cache"
     params: Optional[Dict[str, Any]] = None
