@@ -42,4 +42,5 @@ def test_two_process_dp_decode():
                 p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert "CASCADE_OK" in out, f"worker {pid} no cascade line:\n{out[-4000:]}"
         assert "WORKER_OK" in out, f"worker {pid} no OK line:\n{out[-4000:]}"
