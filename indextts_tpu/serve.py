@@ -14,10 +14,36 @@ import sys
 import time
 
 
+def pick_continuous_slots(env: dict) -> int:
+    """Serving-mode selection at the measured crossover
+    (docs/DEPLOYMENT.md 'pick by workload shape' table).
+
+    TARS_CONTINUOUS_SLOTS=auto (the default) picks from the declared
+    fan-in: sequential (0 slots, lowest TTFB: p50 1.69 vs 2.53 s,
+    BENCH_SERVER_r04.json) while TARS_MAX_CONCURRENCY <= 3, continuous
+    batching with one slot per admitted request (capped at 8) from 4 up —
+    where the shared AR loop measured 1.92x aggregate at high fan-in
+    (BENCH_SERVER_r03.json) and ties sequential on multi-segment traffic
+    with the tail-worker pool (BENCH_TAIL_r04.json). An explicit integer
+    keeps the choice manual."""
+    raw = env.get("TARS_CONTINUOUS_SLOTS", "auto")
+    if raw != "auto":
+        return int(raw)
+    max_conc = int(env.get("TARS_MAX_CONCURRENCY", "1"))
+    return min(max_conc, 8) if max_conc >= 4 else 0
+
+
 def main(argv=None):
     import os
 
-    p = argparse.ArgumentParser(prog="indextts-tpu-serve")
+    p = argparse.ArgumentParser(
+        prog="indextts-tpu-serve",
+        epilog="Serving-mode selection (sequential vs continuous batching "
+               "vs tail workers) is automatic at the measured crossover; "
+               "see the decision table in docs/DEPLOYMENT.md and override "
+               "with TARS_CONTINUOUS_SLOTS / TARS_MAX_CONCURRENCY / "
+               "TARS_CONTINUOUS_TAIL_WORKERS.",
+    )
     # env fallbacks mirror the reference server (serve_tars.py TARS_* contract)
     p.add_argument("--model-dir", default=os.environ.get("TARS_CHECKPOINT_DIR"))
     p.add_argument("--cfg", default=os.environ.get("TARS_CONFIG_FILE"))
@@ -117,9 +143,10 @@ def main(argv=None):
 
     # continuous batching: TARS_CONTINUOUS_SLOTS>1 runs every request's
     # segments through one shared chunked AR loop (requests from different
-    # clients batch dynamically); raise TARS_MAX_CONCURRENCY with it so
-    # multiple requests are in flight
-    cont_slots = int(os.environ.get("TARS_CONTINUOUS_SLOTS", "0"))
+    # clients batch dynamically). Default "auto" picks by declared fan-in
+    # (TARS_MAX_CONCURRENCY) at the measured crossover — see
+    # pick_continuous_slots / docs/DEPLOYMENT.md.
+    cont_slots = pick_continuous_slots(os.environ)
     service = None
     if cont_slots > 1:
         from indextts_tpu.runtime.batcher import ContinuousService

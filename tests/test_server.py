@@ -221,3 +221,19 @@ def test_tts_client_blocking_and_stream(server, tmp_path):
     # stub stream yields 3 chunks of 1024 f32 zeros -> 3*2048 s16le bytes
     assert s["bytes"] == 3 * 2048
     assert 0 < s["ttfb_s"] <= s["wall_s"]
+
+
+def test_pick_continuous_slots_auto_and_manual():
+    """Serving-mode auto-pick encodes the measured crossover
+    (docs/DEPLOYMENT.md decision table): sequential at fan-in <= 3,
+    one slot per admitted request (capped 8) from 4 up; explicit
+    integers stay manual."""
+    from indextts_tpu.serve import pick_continuous_slots as pick
+
+    assert pick({}) == 0                                   # default fan-in 1
+    assert pick({"TARS_MAX_CONCURRENCY": "3"}) == 0
+    assert pick({"TARS_MAX_CONCURRENCY": "4"}) == 4
+    assert pick({"TARS_MAX_CONCURRENCY": "32"}) == 8       # cap
+    assert pick({"TARS_CONTINUOUS_SLOTS": "0",
+                 "TARS_MAX_CONCURRENCY": "16"}) == 0       # manual override
+    assert pick({"TARS_CONTINUOUS_SLOTS": "6"}) == 6
