@@ -111,18 +111,43 @@ def print_request_box(
 
 
 def get_hbm_usage() -> Dict[str, float]:
-    """Bytes in use / limit for the first accelerator device, in GB."""
+    """Bytes in use / limit for the first accelerator device, in GB.
+
+    Backends without allocator stats (the axon-tunneled TPU returns no
+    memory_stats) fall back to summing the process's live jax.Arrays on
+    that device — client-side tracking that exists on every backend. The
+    fallback misses allocator-internal scratch but sees every *held*
+    buffer, which is exactly what a leak gate needs (a leaked array is a
+    live array); `source` records which gauge produced the number."""
     import jax
 
     try:
-        stats = jax.devices()[0].memory_stats()
+        dev = jax.devices()[0]
     except Exception:
         return {}
-    out = {}
+    out: Dict[str, float] = {}
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        stats = None
     if stats:
         for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
             if k in stats:
                 out[k.replace("bytes", "gb")] = stats[k] / 1e9
+        out["source"] = "memory_stats"
+        return out
+    try:
+        total = 0
+        for a in jax.live_arrays():
+            try:
+                if dev in a.devices():
+                    total += a.nbytes
+            except Exception:
+                continue
+        out["gb_in_use"] = total / 1e9
+        out["source"] = "live_arrays"
+    except Exception:
+        return {}
     return out
 
 

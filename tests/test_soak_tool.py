@@ -92,3 +92,22 @@ def test_soak_fails_on_latency_drift(tmp_path, monkeypatch):
         "--port", str(port), "--max-latency-drift", "1.2",
     ])
     assert rc == 1
+
+
+def test_hbm_gauge_live_arrays_fallback():
+    """VERDICT r4 stretch #9: on backends with no allocator memory_stats
+    (axon TPU, CPU) the gauge falls back to summing live jax.Arrays, so the
+    soak's device-leak gate measures real growth instead of reporting
+    'unavailable'."""
+    import jax.numpy as jnp
+
+    from indextts_tpu.utils.obs import get_hbm_usage
+
+    u0 = get_hbm_usage()
+    assert u0.get("source") in ("memory_stats", "live_arrays")
+    big = jnp.ones((512, 512, 8), jnp.float32)  # 8 MB held
+    u1 = get_hbm_usage()
+    if u0["source"] == "live_arrays":
+        grown = u1["gb_in_use"] - u0["gb_in_use"]
+        assert grown >= 8e6 / 1e9 * 0.9, (u0, u1)
+    del big

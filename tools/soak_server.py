@@ -175,6 +175,7 @@ def main(argv=None):
             "p95_s": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3),
             "rss_mb": round(rss_mb(), 1),
             "hbm_gb_in_use": round(hbm.get("gb_in_use", 0.0), 3),
+            "hbm_source": hbm.get("source", "none"),
         })
         print(json.dumps(waves[-1]), file=sys.stderr)
 
@@ -195,10 +196,12 @@ def main(argv=None):
         "requests": sum(w["n"] for w in waves),
         "waves": args.waves,
         "rss_growth_mb": round(rss_growth, 1),
-        # the device memory gauge is not exposed through every backend
-        # (the axon tunnel reports no memory_stats); say so rather than
-        # publishing a vacuously-passing 0-growth gate
-        "hbm_gauge": "ok" if first["hbm_gb_in_use"] > 0 else "unavailable",
+        # allocator stats when the backend exposes them, else the
+        # live-jax.Array sum (obs.get_hbm_usage fallback — real leak
+        # coverage on the axon backend, which reports no memory_stats);
+        # "unavailable" only when neither gauge produced a number
+        "hbm_gauge": (first.get("hbm_source", "none")
+                      if first["hbm_gb_in_use"] > 0 else "unavailable"),
         "hbm_growth_frac": round(hbm_growth, 4),
         "latency_drift": round(drift, 3),
         "p50_first_s": first["p50_s"],
