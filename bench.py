@@ -78,9 +78,36 @@ def main():
         max(0.0, budget * 0.4),
     )
     deadline = time.time() + claim_s
+
+    def claim_devices():
+        """jax.devices() with a heartbeat: on a degraded tunnel the call can
+        BLOCK for many minutes inside backend init (not raise), so run it in
+        a thread and keep the log alive — a silent stall is indistinguishable
+        from a hang in the driver record (round-4 lesson)."""
+        import threading
+
+        box = {}
+
+        def probe():
+            try:
+                box["dev"] = jax.devices()[0]
+            except BaseException as e:
+                box["err"] = e
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        t0 = time.time()
+        while th.is_alive():
+            th.join(timeout=60)
+            if th.is_alive():
+                log(f"still waiting for backend init ({time.time()-t0:.0f}s)")
+        if "dev" in box:
+            return box["dev"]
+        raise box["err"]
+
     while True:
         try:
-            dev = jax.devices()[0]
+            dev = claim_devices()
             break
         except RuntimeError as e:
             if time.time() > deadline:
