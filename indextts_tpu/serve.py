@@ -266,20 +266,15 @@ def main(argv=None):
         else:
             yield from engine.infer_generator(spk, seg_ids, **skw)
 
-    if settings.warmup and default_prompt:
-        print_stage("Warmup synthesis", "progress")
-        t0 = time.perf_counter()
-        try:
-            synth(text="warmup")
-            print_stage("Warmup done", "complete", time.perf_counter() - t0)
-        except Exception as e:
-            print_stage("Warmup failed", "failed", message_extra=str(e))
-
     # precompile the serving envelope's bucket grid in background threads
     # (decode prompt / latent / s2mel / vocoder programs); requests that
     # arrive meanwhile just block on their own shape's compile as they would
     # have anyway. TARS_PRECOMPILE=0 disables; TARS_PRECOMPILE_CODES bounds
     # the covered code length (default 512 ~= 20 s of audio per segment).
+    # Started BEFORE the warmup synthesis: the grid (which includes the
+    # warmup's own shapes) compiles on 4 threads while warmup traces, so
+    # serving readiness rides the parallel compiles instead of one serial
+    # first-infer (engine warmup was the cold-start pole, VERDICT r4 #4).
     if (
         os.environ.get("TARS_PRECOMPILE", "1") == "1"
         and default_prompt
@@ -310,6 +305,15 @@ def main(argv=None):
 
         threading.Thread(target=_precompile, daemon=True,
                          name="tars-precompile").start()
+
+    if settings.warmup and default_prompt:
+        print_stage("Warmup synthesis", "progress")
+        t0 = time.perf_counter()
+        try:
+            synth(text="warmup")
+            print_stage("Warmup done", "complete", time.perf_counter() - t0)
+        except Exception as e:
+            print_stage("Warmup failed", "failed", message_extra=str(e))
 
     server = TTSServer(synth, settings, stream_fn=synth_stream)
     GracefulShutdown().install()
