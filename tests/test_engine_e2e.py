@@ -388,3 +388,24 @@ def test_seq_tail_overlap_decode_error_propagates(engine, rng, monkeypatch):
         engine.infer((prompt, sr), segs, seed=0)
     with pytest.raises(RuntimeError, match="decode exploded"):
         list(engine.infer_generator((prompt, sr), segs, seed=0))
+
+
+def test_infer_generator_keyed_matches_infer(engine, rng, tmp_path):
+    """The streaming generator's new keyable-conditioning reuse (cond_kv /
+    emoconds caches, r5) must not change audio: file-path prompt, same
+    seed, generator output == infer() output, and the caches are shared."""
+    from indextts_tpu.utils.audio import save_wav
+
+    sr = 16000
+    wav = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    p = tmp_path / "spk_gen.wav"
+    save_wav(str(p), wav, sr)
+    segs = [rng.integers(2, 50, 5), rng.integers(2, 50, 6)]
+
+    engine._emoconds_cache.clear()
+    got = np.concatenate(
+        list(engine.infer_generator(str(p), segs, seed=12, interval_silence=0))
+    )
+    assert len(engine._emoconds_cache) == 1  # generator populated the cache
+    want = engine.infer(str(p), segs, seed=12, interval_silence=0)["audio"]
+    np.testing.assert_array_equal(got, want)
