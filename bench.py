@@ -43,14 +43,21 @@ def main():
 
     import jax
 
-    if os.environ.get("BENCH_TINY", "0") == "1":
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    if tiny:
         # self-test mode runs the tiny config on CPU (never claims the TPU)
         jax.config.update("jax_platforms", "cpu")
 
     # persistent compile cache: cold-start dominated by XLA compiles; warm
     # process restarts reuse them (cold/warm startup is tracked in a sidecar
-    # next to the cache so the artifact can publish both numbers)
-    cache_dir = os.environ.get("JAX_COMPILE_CACHE", "/tmp/indextts_tpu_jax_cache")
+    # next to the cache so the artifact can publish both numbers). The tiny
+    # self-test gets its OWN default dir: its CPU entries must not flip the
+    # real bench's prewarmed classification or seed its cold-startup number.
+    cache_dir = os.environ.get(
+        "JAX_COMPILE_CACHE",
+        "/tmp/indextts_tpu_jax_cache_tiny" if tiny
+        else "/tmp/indextts_tpu_jax_cache",
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -79,6 +86,16 @@ def main():
     )
     deadline = time.time() + claim_s
 
+    # an EXPLICIT claim-wait cap also bounds a BLOCKED backend init (the
+    # default waits with a heartbeat until the driver's own kill: without a
+    # device there is no artifact to salvage, so waiting costs nothing,
+    # but BENCH_CLAIM_WAIT_MIN=0/N must mean what it says)
+    hard_deadline = (
+        time.time() + max(claim_s, 1.0)
+        if "BENCH_CLAIM_WAIT_MIN" in os.environ
+        else None
+    )
+
     def claim_devices():
         """jax.devices() with a heartbeat: on a degraded tunnel the call can
         BLOCK for many minutes inside backend init (not raise), so run it in
@@ -101,6 +118,11 @@ def main():
             th.join(timeout=60)
             if th.is_alive():
                 log(f"still waiting for backend init ({time.time()-t0:.0f}s)")
+                if hard_deadline and time.time() > hard_deadline:
+                    raise SystemExit(
+                        "backend init still blocked past the explicit "
+                        "BENCH_CLAIM_WAIT_MIN cap; giving up"
+                    )
         if "dev" in box:
             return box["dev"]
         raise box["err"]
@@ -145,7 +167,6 @@ def main():
         s2mel_dtype=os.environ.get("TARS_S2MEL_DTYPE", fast_dt),
         voc_dtype=os.environ.get("TARS_VOC_DTYPE", fast_dt),
     )
-    tiny = os.environ.get("BENCH_TINY", "0") == "1"
     if tiny:
         # self-test mode: the tests' tiny config on CPU, exercising the full
         # bench control flow (sections, budget gates, progressive emits) in
@@ -250,7 +271,16 @@ def main():
         f"audio={out['duration_sec']:.2f}s; startup {startup_s:.1f}s")
 
     # cold/warm startup sidecar: remember the cold number so warm runs can
-    # publish both (VERDICT r4 #4: cold-vs-warm startup in the artifact)
+    # publish both (VERDICT r4 #4: cold-vs-warm startup in the artifact).
+    # Entries are keyed by a config/platform signature so a differently-
+    # configured run (W4, beams, tiny, another platform) can never seed this
+    # configuration's cold number.
+    sig = "|".join([
+        getattr(dev, "platform", "?"),
+        "tiny" if tiny else "full",
+        f"quant={quant}", f"wbits={cfg.runtime.gpt_wbits}",
+        f"beams={n_beams}", f"text={n_text}", f"mel={n_codes}",
+    ])
     cold_startup_s = None if prewarmed else round(startup_s, 1)
     try:
         hist = []
@@ -258,10 +288,11 @@ def main():
             with open(sidecar) as f:
                 hist = json.load(f)
         for h in hist:
-            if not h.get("prewarmed") and cold_startup_s is None:
+            if (not h.get("prewarmed") and cold_startup_s is None
+                    and h.get("sig") == sig):
                 cold_startup_s = h.get("startup_s")
         hist.append({"ts": time.time(), "startup_s": round(startup_s, 1),
-                     "prewarmed": prewarmed,
+                     "prewarmed": prewarmed, "sig": sig,
                      "warmup_s": round(compile_time, 1)})
         with open(sidecar, "w") as f:
             json.dump(hist[-50:], f)

@@ -427,17 +427,44 @@ class ContinuousService:
                 spk, emovec, text_ids, c.codes, seed,
                 time.perf_counter() - t0,
             )
-            fut.set_result(res)
+            try:
+                fut.set_result(res)
+            except Exception:  # resolved elsewhere (shutdown raced the tail)
+                pass
         except Exception as e:  # surface cascade errors to the caller
-            fut.set_exception(e)
+            try:
+                fut.set_exception(e)
+            except Exception:
+                pass
 
-    def shutdown(self):
+    def shutdown(self, timeout: float = 60.0):
         with self._cv:
             self._running = False
             self._cv.notify_all()
-        # join WITHOUT a cap before closing the tail pool: a worker stuck in
-        # a long step_chunk/compile (>5 s is routine on a degraded tunnel)
-        # must not wake up to a shut-down pool mid-harvest
-        self._thread.join()
+        # bounded join, generous enough for a long step_chunk/compile (>5 s
+        # is routine on a degraded tunnel) but not forever — a worker wedged
+        # in a dead-tunnel device call must not hang SIGTERM shutdown. If
+        # the worker outlives the cap and later harvests into the shut-down
+        # pool, _worker_loop's RuntimeError fallback finishes that segment
+        # inline instead of stranding its future.
+        self._thread.join(timeout=timeout)
         if self._tail_pool is not None:
             self._tail_pool.shutdown(wait=True)
+        # fail whatever is still pending: clients blocked in fut.result()
+        # get a prompt shutdown error, not a multi-minute timeout. Futures
+        # whose tails are mid-flight were claimed by set_running_or_notify_
+        # cancel and resolve normally; set_exception on a RUNNING future
+        # raises InvalidStateError, which we tolerate (the tail wins).
+        with self._cv:
+            pending = list(self._futures.values())
+            pending += [t[5] for t in self._incoming]
+            self._futures.clear()
+            self._incoming = []
+        for fut in pending:
+            if not fut.done():
+                try:
+                    fut.set_exception(
+                        RuntimeError("ContinuousService shut down")
+                    )
+                except Exception:
+                    pass

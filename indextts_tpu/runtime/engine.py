@@ -1037,7 +1037,12 @@ class IndexTTS2Engine:
         one combo instead of ~15. decode_variants: "both" compiles the
         keyed (cond-KV reuse) and raw decode traces; "keyed"/"raw" compile
         just one (they are distinct XLA programs; halves the warmup pole
-        when the caller knows its route).
+        when the caller knows its route); "keyed" falls back to the raw
+        trace when the decoder's cache layout has no cond-KV reuse (the
+        route the engine would actually take there); "none" skips decode
+        entirely — continuous-mode serving decodes through the batcher's
+        own programs but still runs this engine's cascade tail, so the
+        latent/s2mel/vocoder grid is worth warming alone.
 
         Returns the number of programs compiled.
         """
@@ -1067,9 +1072,11 @@ class IndexTTS2Engine:
         # else the sampling loop; both reuse the conds-prefix KV when the
         # layout supports it
         cond_kv = None
-        if self.decoder.supports_cond_kv and decode_variants != "raw":
+        if (self.decoder.supports_cond_kv
+                and decode_variants not in ("raw", "none")):
             cond_kv = self.decoder.cond_prefill({"params": self.p_gpt}, conds)
-        self.decoder.ensure_beam_jit()
+        if decode_variants != "none":
+            self.decoder.ensure_beam_jit()
 
         # (code_bucket, target_bucket) combos actually reachable from
         # code_len in [1, max_code_len] (one code bucket can map to two
@@ -1095,7 +1102,9 @@ class IndexTTS2Engine:
             )
             k = jax.random.PRNGKey(0)
             variants = []
-            if decode_variants in ("both", "raw"):
+            if decode_variants in ("both", "raw") or (
+                decode_variants == "keyed" and cond_kv is None
+            ):
                 variants.append(None)
             if cond_kv is not None:
                 variants.append(cond_kv)
@@ -1149,7 +1158,8 @@ class IndexTTS2Engine:
                 self._vocoder_f32_program(self.p_bigvgan_f32, mel)
 
         jobs = (
-            [functools.partial(decode_job, b) for b in text_buckets]
+            ([] if decode_variants == "none"
+             else [functools.partial(decode_job, b) for b in text_buckets])
             + [
                 functools.partial(latent_job, tb64, cb)
                 for tb64 in lat_buckets
@@ -1386,15 +1396,34 @@ class IndexTTS2Engine:
         """Decode/tail pipeline over a segment list: a producer thread runs
         the AR decode for segment k+1 while a single tail worker (FIFO, so
         results complete in submission order) finishes segment k; yields
-        SegmentResults strictly in segment order."""
+        SegmentResults strictly in segment order.
+
+        The handoff queue is BOUNDED (depth 2): a slow streaming consumer
+        (client at playback rate) applies backpressure to the producer, so
+        at most ~3 segments of audio are in flight per request — the 1-deep
+        decode/tail overlap needs no more, and an unbounded queue would let
+        one slow client buffer a whole long request's waveforms in host
+        memory while monopolizing the chip against concurrent requests."""
         import queue
         from concurrent.futures import ThreadPoolExecutor
 
         tail_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="tars-seq-tail"
         )
-        out_q: "queue.Queue[tuple]" = queue.Queue()
+        out_q: "queue.Queue[tuple]" = queue.Queue(maxsize=2)
         stop = threading.Event()
+
+        def put(item) -> bool:
+            """Blocking put that aborts when the consumer is gone (the
+            generator's finally sets `stop`; a plain put could deadlock
+            against the bounded queue)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -1408,16 +1437,17 @@ class IndexTTS2Engine:
                         emo_vector=emo_vector, use_random=use_random,
                         seed=s_i, cond_kv_key=cond_kv_key, **gen_kwargs,
                     )
-                    out_q.put((
+                    if not put((
                         "fut",
                         tail_pool.submit(
                             self._finish_from_codes,
                             spk, emovec, seg, codes, s_i, t_gen,
                         ),
-                    ))
-                out_q.put(("done", None))
+                    )):
+                        return
+                put(("done", None))
             except BaseException as e:  # surface decode errors to the consumer
-                out_q.put(("err", e))
+                put(("err", e))
 
         th = threading.Thread(
             target=producer, daemon=True, name="tars-seq-decode"

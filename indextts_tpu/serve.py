@@ -147,6 +147,18 @@ def main(argv=None):
     # (TARS_MAX_CONCURRENCY) at the measured crossover — see
     # pick_continuous_slots / docs/DEPLOYMENT.md.
     cont_slots = pick_continuous_slots(os.environ)
+    if (cont_slots > 1
+            and os.environ.get("TARS_CONTINUOUS_SLOTS", "auto") == "auto"):
+        # auto keyed on the DECLARED cap, not live fan-in: say so, loudly,
+        # with the override — an operator using MAX_CONCURRENCY purely as a
+        # safety cap at low real traffic wants TARS_CONTINUOUS_SLOTS=0
+        print_stage(
+            f"Auto-picked continuous batching ({cont_slots} slots) from "
+            f"TARS_MAX_CONCURRENCY; set TARS_CONTINUOUS_SLOTS=0 for the "
+            f"sequential route if real fan-in is low "
+            f"(docs/DEPLOYMENT.md decision table)",
+            "complete",
+        )
     service = None
     if cont_slots > 1:
         from indextts_tpu.runtime.batcher import ContinuousService
@@ -278,7 +290,6 @@ def main(argv=None):
     if (
         os.environ.get("TARS_PRECOMPILE", "1") == "1"
         and default_prompt
-        and service is None
     ):
         import threading
 
@@ -295,6 +306,9 @@ def main(argv=None):
                         os.environ.get("TARS_PRECOMPILE_CODES", "512")
                     ),
                     workers=int(os.environ.get("TARS_PRECOMPILE_WORKERS", "4")),
+                    # continuous mode decodes through the batcher's own
+                    # programs — warm only the cascade-tail grid there
+                    decode_variants="none" if service is not None else "both",
                 )
                 print_stage(
                     f"Precompiled {n} programs", "complete",

@@ -396,3 +396,40 @@ def test_service_finish_one_tolerates_cancelled_future():
     # unbound call: a cancelled future returns before touching engine/meta
     ContinuousService._finish_one(None, None, None, fut)
     assert fut.cancelled()
+
+
+def test_service_shutdown_fails_pending_futures():
+    """Shutdown with requests still queued/in-flight must promptly fail
+    their futures instead of stranding clients in result(timeout=...) (r5
+    review): join is bounded and pending futures get a shutdown error."""
+    import sys as _sys
+    import time as _time
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).parent))
+    from test_engine_e2e import tiny_config
+
+    from indextts_tpu.runtime.batcher import ContinuousService
+    from indextts_tpu.runtime.engine import (
+        EmotionConditioning, IndexTTS2Engine, random_params,
+    )
+
+    cfg = tiny_config()
+    engine = IndexTTS2Engine(cfg, random_params(cfg, seed=0))
+    rng = np.random.default_rng(9)
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    svc = ContinuousService(engine, n_slots=1, text_bucket=16, max_new=8,
+                            chunk_steps=4)
+    # wedge the decode loop so the submitted segment can never complete
+    orig_step = svc.bat.dec.step_chunk
+    svc.bat.dec.step_chunk = lambda *a, **k: (_time.sleep(3.0), a[1])[1]
+    spk = engine.prepare_speaker(wav, 16000)
+    emo = EmotionConditioning(spk.spk_cond_emb, spk.cond_len)
+    fut = svc.submit(spk, emo, rng.integers(2, 50, 4), seed=0)
+    _time.sleep(0.3)  # let the worker pick it up / park in the wedge
+    t0 = _time.perf_counter()
+    svc.shutdown(timeout=0.5)
+    assert _time.perf_counter() - t0 < 10
+    with pytest.raises(RuntimeError, match="shut down"):
+        fut.result(timeout=5)
+    svc.bat.dec.step_chunk = orig_step
