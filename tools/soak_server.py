@@ -181,9 +181,12 @@ def main(argv=None):
 
     first, last = waves[0], waves[-1]
     rss_growth = last["rss_mb"] - first["rss_mb"]
+    # growth vs a floored baseline: a tiny (or zero) first-wave footprint
+    # must not make the gate vacuous — absolute growth past 5% of
+    # max(baseline, 50 MB) fails even from a zero start
     hbm_growth = (
-        (last["hbm_gb_in_use"] / first["hbm_gb_in_use"] - 1.0)
-        if first["hbm_gb_in_use"] > 0 else 0.0
+        (last["hbm_gb_in_use"] - first["hbm_gb_in_use"])
+        / max(first["hbm_gb_in_use"], 0.05)
     )
     drift = last["p50_s"] / max(first["p50_s"], 1e-9)
     ok = (
@@ -201,7 +204,8 @@ def main(argv=None):
         # coverage on the axon backend, which reports no memory_stats);
         # "unavailable" only when neither gauge produced a number
         "hbm_gauge": (first.get("hbm_source", "none")
-                      if first["hbm_gb_in_use"] > 0 else "unavailable"),
+                      if first.get("hbm_source", "none") != "none"
+                      else "unavailable"),
         "hbm_growth_frac": round(hbm_growth, 4),
         "latency_drift": round(drift, 3),
         "p50_first_s": first["p50_s"],
