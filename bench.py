@@ -131,9 +131,21 @@ def main():
         try:
             dev = claim_devices()
             break
-        except RuntimeError as e:
-            if time.time() > deadline:
-                raise
+        except (RuntimeError, SystemExit) as e:
+            if time.time() > deadline or isinstance(e, SystemExit):
+                # leave a PARSABLE record of why there is no number: this
+                # session observed the axon backend down for hours
+                # (UNAVAILABLE after a 44-min blocked init) — a JSON line
+                # with an error field beats a bare traceback in the
+                # driver's artifact
+                print(json.dumps({
+                    "metric": "audio_sec_generated_per_wall_sec",
+                    "value": None,
+                    "unit": "audio-sec/s",
+                    "error": f"no device: {e}",
+                    "waited_s": round(elapsed(), 1),
+                }), flush=True)
+                raise SystemExit(1)
             log(f"backend unavailable ({e}); retrying in 30s")
             # drop any memoized failed-backend state before the next attempt
             for clear in ("_clear_backends", "clear_backends"):
