@@ -131,7 +131,10 @@ def main():
     if args.mode == "continuous":
         os.environ.setdefault("TARS_CONTINUOUS_SLOTS", str(args.clients))
     else:
-        os.environ.pop("TARS_CONTINUOUS_SLOTS", None)
+        # EXPLICIT 0: the server's TARS_CONTINUOUS_SLOTS default is "auto",
+        # which at clients>=4 would flip this sequential measurement into
+        # continuous mode
+        os.environ["TARS_CONTINUOUS_SLOTS"] = "0"
     os.environ.setdefault("TARS_MAX_CONCURRENCY", str(args.clients))
     os.environ.setdefault("TARS_MAX_MEL_TOKENS", "256")
     os.environ.setdefault("TARS_KV_QUANT", "1")

@@ -75,6 +75,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     os.environ.setdefault("TARS_MAX_CONCURRENCY", str(args.clients))
+    # pin the serving mode: the server's "auto" slots default would flip to
+    # continuous at clients>=4, silently changing what this soak measures;
+    # soak the mode you mean (set TARS_CONTINUOUS_SLOTS yourself to soak
+    # continuous)
+    os.environ.setdefault("TARS_CONTINUOUS_SLOTS", "0")
     os.environ.setdefault("TARS_MAX_MEL_TOKENS", "192")
     os.environ.setdefault("TARS_KV_QUANT", "1")
     os.environ.setdefault("TARS_GPT_QUANTIZE", "1")
