@@ -95,6 +95,23 @@ def main():
         if "BENCH_CLAIM_WAIT_MIN" in os.environ
         else None
     )
+    err_emitted = []
+
+    def emit_claim_error(e):
+        """Checkpoint a PARSABLE record of why there is (yet) no number —
+        the axon backend was observed down for hours this session. Emitted
+        once; if a device appears later, the real headline supersedes it
+        (last line wins)."""
+        if err_emitted:
+            return
+        err_emitted.append(True)
+        print(json.dumps({
+            "metric": "audio_sec_generated_per_wall_sec",
+            "value": None,
+            "unit": "audio-sec/s",
+            "error": f"no device yet: {e}",
+            "waited_s": round(elapsed(), 1),
+        }), flush=True)
 
     def claim_devices():
         """jax.devices() with a heartbeat: on a degraded tunnel the call can
@@ -118,6 +135,8 @@ def main():
             th.join(timeout=60)
             if th.is_alive():
                 log(f"still waiting for backend init ({time.time()-t0:.0f}s)")
+                if time.time() - t0 > 600:
+                    emit_claim_error("backend init blocked >10min")
                 if hard_deadline and time.time() > hard_deadline:
                     raise SystemExit(
                         "backend init still blocked past the explicit "
@@ -132,20 +151,16 @@ def main():
             dev = claim_devices()
             break
         except (RuntimeError, SystemExit) as e:
-            if time.time() > deadline or isinstance(e, SystemExit):
-                # leave a PARSABLE record of why there is no number: this
-                # session observed the axon backend down for hours
-                # (UNAVAILABLE after a 44-min blocked init) — a JSON line
-                # with an error field beats a bare traceback in the
-                # driver's artifact
-                print(json.dumps({
-                    "metric": "audio_sec_generated_per_wall_sec",
-                    "value": None,
-                    "unit": "audio-sec/s",
-                    "error": f"no device: {e}",
-                    "waited_s": round(elapsed(), 1),
-                }), flush=True)
+            if isinstance(e, SystemExit):
+                # explicit BENCH_CLAIM_WAIT_MIN cap crossed: stop for real
+                emit_claim_error(e)
                 raise SystemExit(1)
+            if time.time() > deadline:
+                # past the soft deadline: checkpoint the parsable error
+                # record, then KEEP retrying — the driver's own timeout is
+                # the real bound, and a late-recovering backend still gets
+                # its headline (which supersedes the error line)
+                emit_claim_error(e)
             log(f"backend unavailable ({e}); retrying in 30s")
             # drop any memoized failed-backend state before the next attempt
             for clear in ("_clear_backends", "clear_backends"):
