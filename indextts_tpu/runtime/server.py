@@ -16,7 +16,7 @@ import json
 import os
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional
 
@@ -26,15 +26,30 @@ from indextts_tpu.utils import audio as audio_utils
 
 @dataclass
 class ServerSettings:
-    """serve_tars.py Settings (:60-93)."""
+    """serve_tars.py Settings (:60-93).
+
+    Env defaults are default_factory so they are read at CONSTRUCTION time
+    — a plain default would freeze the env as of module import, silently
+    ignoring TARS_* values set between import and server build (the
+    reference's pydantic Settings also reads at instantiation)."""
 
     host: str = "0.0.0.0"
     port: int = 8000
-    max_concurrency: int = int(os.environ.get("TARS_MAX_CONCURRENCY", "1"))
-    enable_streaming: bool = os.environ.get("TARS_ENABLE_STREAMING", "1") != "0"
-    reference_audio: str = os.environ.get("TARS_REFERENCE_AUDIO", "")
-    cache_dir: str = os.environ.get("TARS_CACHE_DIR", "outputs/cache")
-    warmup: bool = os.environ.get("TARS_WARMUP", "1") != "0"
+    max_concurrency: int = field(
+        default_factory=lambda: int(os.environ.get("TARS_MAX_CONCURRENCY", "1"))
+    )
+    enable_streaming: bool = field(
+        default_factory=lambda: os.environ.get("TARS_ENABLE_STREAMING", "1") != "0"
+    )
+    reference_audio: str = field(
+        default_factory=lambda: os.environ.get("TARS_REFERENCE_AUDIO", "")
+    )
+    cache_dir: str = field(
+        default_factory=lambda: os.environ.get("TARS_CACHE_DIR", "outputs/cache")
+    )
+    warmup: bool = field(
+        default_factory=lambda: os.environ.get("TARS_WARMUP", "1") != "0"
+    )
 
 
 class ResponseCache:
@@ -82,8 +97,12 @@ class TTSServer:
     'sampling_rate'. Streaming uses synth_stream(...) -> iterator of chunks.
     """
 
-    def __init__(self, engine_fn: Callable, settings: ServerSettings = ServerSettings(),
+    def __init__(self, engine_fn: Callable,
+                 settings: Optional[ServerSettings] = None,
                  stream_fn: Optional[Callable] = None):
+        # settings default built HERE, not in the signature: a def-time
+        # ServerSettings() would freeze the TARS_* env at import
+        settings = settings if settings is not None else ServerSettings()
         self.engine_fn = engine_fn
         self.stream_fn = stream_fn
         self.settings = settings

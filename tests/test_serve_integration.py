@@ -72,7 +72,7 @@ def test_serve_auto_continuous_end_to_end(serve_env, monkeypatch):
     _boot(port, {"TARS_MAX_CONCURRENCY": "4"}, monkeypatch)
 
     status, wav = _post(port, "/tts", {"text": "hello continuous", "seed": 1})
-    assert status == 200 and len(wav) > 44  # WAV header + audio
+    assert status == 200 and len(wav) > 44, (status, wav[:300])
 
     status, pcm = _post(port, "/tts/stream",
                         {"text": "stream me. more text.", "seed": 2})
