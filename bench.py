@@ -132,16 +132,23 @@ def main():
         th.start()
         t0 = time.time()
         while th.is_alive():
-            th.join(timeout=60)
+            # tick bounded by the explicit cap so BENCH_CLAIM_WAIT_MIN=0
+            # really stops within ~a second, not at the next minute mark
+            tick = 60.0
+            if hard_deadline is not None:
+                tick = min(tick, max(hard_deadline - time.time(), 0.5))
+            th.join(timeout=tick)
             if th.is_alive():
-                log(f"still waiting for backend init ({time.time()-t0:.0f}s)")
-                if time.time() - t0 > 600:
-                    emit_claim_error("backend init blocked >10min")
                 if hard_deadline and time.time() > hard_deadline:
                     raise SystemExit(
                         "backend init still blocked past the explicit "
                         "BENCH_CLAIM_WAIT_MIN cap; giving up"
                     )
+                if time.time() - t0 >= 60:
+                    log(f"still waiting for backend init "
+                        f"({time.time()-t0:.0f}s)")
+                if time.time() - t0 > 600:
+                    emit_claim_error("backend init blocked >10min")
         if "dev" in box:
             return box["dev"]
         raise box["err"]
@@ -151,8 +158,11 @@ def main():
             dev = claim_devices()
             break
         except (RuntimeError, SystemExit) as e:
-            if isinstance(e, SystemExit):
-                # explicit BENCH_CLAIM_WAIT_MIN cap crossed: stop for real
+            if isinstance(e, SystemExit) or (
+                hard_deadline is not None and time.time() > hard_deadline
+            ):
+                # explicit BENCH_CLAIM_WAIT_MIN cap crossed: stop for real —
+                # whether init BLOCKED past it or kept raising fast
                 emit_claim_error(e)
                 raise SystemExit(1)
             if time.time() > deadline:

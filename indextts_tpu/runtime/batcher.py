@@ -355,14 +355,28 @@ class ContinuousService:
         except BaseException as e:  # worker death must not strand futures
             with self._cv:
                 self._running = False
-                futs = list(self._futures.values())
-                futs += [t[5] for t in self._incoming]
-                self._incoming = []
-                self._futures.clear()
-            for fut in futs:
-                if not fut.done():
-                    fut.set_exception(e)
+            self._fail_pending(e)
             raise
+
+    def _fail_pending(self, exc: BaseException):
+        """Fail every future still pending in the service (queued or
+        submitted-but-unharvested), releasing its conds/spk metadata.
+        Futures whose tails are RUNNING are left alone — their in-flight
+        _finish_one resolves them (set_exception on a RUNNING future would
+        SUCCEED and clobber the imminent result); the try/except covers
+        the narrow claim race that remains."""
+        with self._cv:
+            pending = list(self._futures.values())
+            pending += [t[5] for t in self._incoming]
+            self._futures.clear()
+            self._meta.clear()
+            self._incoming = []
+        for fut in pending:
+            if not fut.done() and not fut.running():
+                try:
+                    fut.set_exception(exc)
+                except Exception:  # claimed/resolved in the race window
+                    pass
 
     def _worker_loop(self):
         while True:
@@ -418,8 +432,13 @@ class ContinuousService:
         # claims the future atomically: a caller cancel() that lands before
         # this point wins cleanly, and set_result can no longer race
         # cancellation into InvalidStateError (which would kill the decode
-        # thread in inline mode)
-        if not fut.set_running_or_notify_cancel():
+        # thread in inline mode). A future already FINISHED (shutdown's
+        # _fail_pending raced a late harvest) raises here — treat as
+        # resolved-elsewhere, never as a worker-killing error.
+        try:
+            if not fut.set_running_or_notify_cancel():
+                return
+        except Exception:
             return
         spk, emovec, text_ids, seed, t0 = meta
         try:
@@ -449,22 +468,15 @@ class ContinuousService:
         # inline instead of stranding its future.
         self._thread.join(timeout=timeout)
         if self._tail_pool is not None:
-            self._tail_pool.shutdown(wait=True)
-        # fail whatever is still pending: clients blocked in fut.result()
-        # get a prompt shutdown error, not a multi-minute timeout. Futures
-        # whose tails are mid-flight were claimed by set_running_or_notify_
-        # cancel and resolve normally; set_exception on a RUNNING future
-        # raises InvalidStateError, which we tolerate (the tail wins).
-        with self._cv:
-            pending = list(self._futures.values())
-            pending += [t[5] for t in self._incoming]
-            self._futures.clear()
-            self._incoming = []
-        for fut in pending:
-            if not fut.done():
-                try:
-                    fut.set_exception(
-                        RuntimeError("ContinuousService shut down")
-                    )
-                except Exception:
-                    pass
+            # wait=False: a tail thread wedged in a dead-tunnel device call
+            # (s2mel/vocoder/PCM d2h can block for minutes) must not hang
+            # the SIGTERM handler either. In-flight tails keep their
+            # claimed futures and resolve them if the call ever returns;
+            # a blocked device call itself cannot be cancelled, so it may
+            # still pin interpreter teardown — that is the backend's floor,
+            # not this shutdown's.
+            self._tail_pool.shutdown(wait=False)
+        # fail whatever is still pending (RUNNING tails excluded — see
+        # _fail_pending): clients blocked in fut.result() get a prompt
+        # shutdown error, not a multi-minute timeout
+        self._fail_pending(RuntimeError("ContinuousService shut down"))
